@@ -1,0 +1,263 @@
+"""MixVisionTransformer (Segformer encoder), TPU-native.
+
+Functionally equivalent to the reference backbone
+(``mmseg/models/backbones/mix_transformer.py:221-442``) with two deliberate
+departures:
+
+* layout is NHWC end to end; tokens are ``(B, N, C)`` with N ordered
+  row-major over (H, W), matching the reference's ``flatten(2)`` order, so
+  distillation feature maps correspond element-for-element;
+* the reference's ``Hook`` identity modules (``mix_transformer.py:57-61``)
+  — inserted purely so torch forward hooks can grab attention internals —
+  become functional taps via ``self.sow('feats', ...)``. Taps that no
+  configured distillation loss consumes are filtered out inside the jitted
+  step and eliminated by XLA DCE, so they are free.
+
+Tap names reproduce the reference layer names:
+``backbone.block{s}.{i}.attn.{Q,K,V,ATTN}`` and ``backbone.block{s}.{i}.FEA``.
+"""
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..builder import BACKBONES
+from ..utils import DropPath, trunc_normal_init
+
+# attention softmax + distill losses stay fp32 islands under bf16 compute
+_F32 = jnp.float32
+
+
+class DWConv(nn.Module):
+    """3x3 depthwise conv mixing inside the MLP (ref: mix_transformer.py:376-387)."""
+    dim: int
+
+    @nn.compact
+    def __call__(self, x, H, W):
+        B, N, C = x.shape
+        x = x.reshape(B, H, W, C)
+        x = nn.Conv(self.dim, (3, 3), padding=1, feature_group_count=self.dim,
+                    use_bias=True, dtype=x.dtype, name='dwconv')(x)
+        return x.reshape(B, H * W, C)
+
+
+class Mlp(nn.Module):
+    hidden_features: int
+    out_features: int
+    drop: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, H, W, deterministic=True):
+        x = nn.Dense(self.hidden_features, dtype=x.dtype,
+                     kernel_init=trunc_normal_init(), name='fc1')(x)
+        x = DWConv(self.hidden_features, name='dwconv')(x, H, W)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dropout(self.drop)(x, deterministic=deterministic)
+        x = nn.Dense(self.out_features, dtype=x.dtype,
+                     kernel_init=trunc_normal_init(), name='fc2')(x)
+        x = nn.Dropout(self.drop)(x, deterministic=deterministic)
+        return x
+
+
+class Attention(nn.Module):
+    """Spatial-reduction attention (ref: mix_transformer.py:63-133).
+
+    ``sr_ratio`` > 1 convolutionally downsamples K/V — the reference's answer
+    to long spatial sequences (SURVEY §5).
+    """
+    dim: int
+    num_heads: int = 8
+    qkv_bias: bool = False
+    qk_scale: float = None
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    sr_ratio: int = 1
+
+    @nn.compact
+    def __call__(self, x, H, W, deterministic=True):
+        B, N, C = x.shape
+        nh = self.num_heads
+        hd = C // nh
+        scale = self.qk_scale or hd ** -0.5
+
+        q = nn.Dense(C, use_bias=self.qkv_bias, dtype=x.dtype,
+                     kernel_init=trunc_normal_init(), name='q')(x)
+        q = q.reshape(B, N, nh, hd).transpose(0, 2, 1, 3)
+        self.sow('feats', 'Q', q)
+
+        if self.sr_ratio > 1:
+            x_ = x.reshape(B, H, W, C)
+            x_ = nn.Conv(C, (self.sr_ratio, self.sr_ratio),
+                         strides=self.sr_ratio, padding='VALID',
+                         dtype=x.dtype, name='sr')(x_)
+            x_ = x_.reshape(B, -1, C)
+            x_ = nn.LayerNorm(epsilon=1e-6, dtype=x.dtype, name='norm')(x_)
+        else:
+            x_ = x
+        kv = nn.Dense(2 * C, use_bias=self.qkv_bias, dtype=x.dtype,
+                      kernel_init=trunc_normal_init(), name='kv')(x_)
+        kv = kv.reshape(B, -1, 2, nh, hd).transpose(2, 0, 3, 1, 4)
+        k, v = kv[0], kv[1]
+        self.sow('feats', 'K', k)
+        self.sow('feats', 'V', v)
+
+        attn = jnp.einsum('bhnd,bhmd->bhnm', q.astype(_F32),
+                          k.astype(_F32)) * scale
+        self.sow('feats', 'ATTN', attn)
+        attn = nn.softmax(attn, axis=-1).astype(x.dtype)
+        attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
+
+        out = jnp.einsum('bhnm,bhmd->bhnd', attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
+        out = nn.Dense(C, dtype=x.dtype, kernel_init=trunc_normal_init(),
+                       name='proj')(out)
+        out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
+        return out
+
+
+class Block(nn.Module):
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = False
+    qk_scale: float = None
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path: float = 0.0
+    sr_ratio: int = 1
+
+    @nn.compact
+    def __call__(self, x, H, W, deterministic=True):
+        h = nn.LayerNorm(epsilon=1e-6, dtype=x.dtype, name='norm1')(x)
+        h = Attention(self.dim, num_heads=self.num_heads,
+                      qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
+                      attn_drop=self.attn_drop, proj_drop=self.drop,
+                      sr_ratio=self.sr_ratio, name='attn')(
+                          h, H, W, deterministic=deterministic)
+        x = x + DropPath(self.drop_path, name='drop_path1')(
+            h, deterministic=deterministic)
+        h = nn.LayerNorm(epsilon=1e-6, dtype=x.dtype, name='norm2')(x)
+        h = Mlp(int(self.dim * self.mlp_ratio), self.dim, drop=self.drop,
+                name='mlp')(h, H, W, deterministic=deterministic)
+        x = x + DropPath(self.drop_path, name='drop_path2')(
+            h, deterministic=deterministic)
+        self.sow('feats', 'FEA', x)
+        return x
+
+
+class OverlapPatchEmbed(nn.Module):
+    patch_size: int = 7
+    stride: int = 4
+    embed_dim: int = 768
+
+    @nn.compact
+    def __call__(self, x):
+        p = self.patch_size // 2
+        x = nn.Conv(self.embed_dim, (self.patch_size, self.patch_size),
+                    strides=self.stride, padding=[(p, p), (p, p)],
+                    dtype=x.dtype, name='proj')(x)
+        B, H, W, C = x.shape
+        x = x.reshape(B, H * W, C)
+        x = nn.LayerNorm(epsilon=1e-6, dtype=x.dtype, name='norm')(x)
+        return x, H, W
+
+
+@BACKBONES.register_module()
+class MixVisionTransformer(nn.Module):
+    embed_dims: Sequence[int] = (64, 128, 256, 512)
+    num_heads: Sequence[int] = (1, 2, 4, 8)
+    mlp_ratios: Sequence[float] = (4, 4, 4, 4)
+    qkv_bias: bool = False
+    qk_scale: float = None
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    drop_path_rate: float = 0.0
+    depths: Sequence[int] = (3, 4, 6, 3)
+    sr_ratios: Sequence[int] = (8, 4, 2, 1)
+    dtype: jnp.dtype = jnp.float32
+
+    # feature-tap path components needing list-index renames
+    TAP_RENAMES = [(r'^block(\d+)_(\d+)$', r'block\1.\2')]
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        x = x.astype(self.dtype)
+        det = not train
+        # stochastic depth decay rule (ref: mix_transformer.py:241)
+        total = sum(self.depths)
+        dpr = [self.drop_path_rate * i / max(total - 1, 1)
+               for i in range(total)]
+
+        outs = []
+        cur = 0
+        patch_cfg = [(7, 4), (3, 2), (3, 2), (3, 2)]
+        for s in range(4):
+            ps, st = patch_cfg[s]
+            x, H, W = OverlapPatchEmbed(
+                patch_size=ps, stride=st, embed_dim=self.embed_dims[s],
+                name=f'patch_embed{s + 1}')(x)
+            for i in range(self.depths[s]):
+                x = Block(dim=self.embed_dims[s],
+                          num_heads=self.num_heads[s],
+                          mlp_ratio=self.mlp_ratios[s],
+                          qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
+                          drop=self.drop_rate,
+                          attn_drop=self.attn_drop_rate,
+                          drop_path=dpr[cur + i],
+                          sr_ratio=self.sr_ratios[s],
+                          name=f'block{s + 1}_{i}')(x, H, W,
+                                                    deterministic=det)
+            x = nn.LayerNorm(epsilon=1e-6, dtype=x.dtype,
+                             name=f'norm{s + 1}')(x)
+            x = x.reshape(x.shape[0], H, W, -1)
+            outs.append(x)
+            cur += self.depths[s]
+        return tuple(outs)
+
+
+def _mit(embed_dims, depths, **kwargs):
+    kwargs.pop('style', None)
+    kwargs.pop('pretrained', None)
+    return dict(embed_dims=tuple(embed_dims), num_heads=(1, 2, 5, 8),
+                mlp_ratios=(4, 4, 4, 4), qkv_bias=True,
+                depths=tuple(depths), sr_ratios=(8, 4, 2, 1),
+                drop_rate=0.0, drop_path_rate=0.1, **kwargs)
+
+
+# ref variant table: mix_transformer.py:391-442 (factory functions — flax
+# modules are frozen dataclasses, so variants are parameterizations)
+@BACKBONES.register_module(name='mit_b0')
+def mit_b0(**kwargs):
+    return MixVisionTransformer(**_mit([32, 64, 160, 256], [2, 2, 2, 2],
+                                       **kwargs))
+
+
+@BACKBONES.register_module(name='mit_b1')
+def mit_b1(**kwargs):
+    return MixVisionTransformer(**_mit([64, 128, 320, 512], [2, 2, 2, 2],
+                                       **kwargs))
+
+
+@BACKBONES.register_module(name='mit_b2')
+def mit_b2(**kwargs):
+    return MixVisionTransformer(**_mit([64, 128, 320, 512], [3, 4, 6, 3],
+                                       **kwargs))
+
+
+@BACKBONES.register_module(name='mit_b3')
+def mit_b3(**kwargs):
+    return MixVisionTransformer(**_mit([64, 128, 320, 512], [3, 4, 18, 3],
+                                       **kwargs))
+
+
+@BACKBONES.register_module(name='mit_b4')
+def mit_b4(**kwargs):
+    return MixVisionTransformer(**_mit([64, 128, 320, 512], [3, 8, 27, 3],
+                                       **kwargs))
+
+
+@BACKBONES.register_module(name='mit_b5')
+def mit_b5(**kwargs):
+    return MixVisionTransformer(**_mit([64, 128, 320, 512], [3, 6, 40, 3],
+                                       **kwargs))

@@ -1,0 +1,69 @@
+"""SegFormer all-MLP decode head
+(ref contract: mmseg/models/decode_heads/segformer_head.py:37-98).
+
+The classifier tap is named 'linear_pred' — the layer every Segformer
+distillation config hooks (``local_configs/exp_tab5/segformer_CGD.py:50-51``).
+Loss override preserved: reduction='none' + downstream ``_parse_losses``
+mean == mean over all pixels (SURVEY §7 hard part (b)).
+"""
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ...ops import resize
+from ..builder import HEADS
+from ..utils import ConvModule, trunc_normal_init
+from .decode_head import BaseDecodeHead
+
+
+@HEADS.register_module()
+class SegFormerHead(BaseDecodeHead):
+    feature_strides: Sequence[int] = (4, 8, 16, 32)
+    input_transform: str = 'multiple_select'  # ref segformer_head.py:43
+
+    # ref segformer_head.py:45-50 — reduction='none'; _parse_losses takes the
+    # mean, numerically identical to the default mean-over-all-pixels.
+    DEFAULT_LOSS = dict(type='CrossEntropyLoss', use_sigmoid=False,
+                        loss_weight=1.0, reduction='none')
+
+    def _loss_cfg(self):
+        return dict(self.DEFAULT_LOSS)  # the override wins (ref :50)
+
+    @nn.compact
+    def __call__(self, inputs, train=False):
+        x = self._transform_inputs(inputs)  # 4 maps: strides 4,8,16,32
+        c1, c2, c3, c4 = x
+        n = c1.shape[0]
+        embed_dim = (self.decoder_params or {}).get('embed_dim', 256)
+
+        def linear_embed(c, name):
+            B, H, W, C = c.shape
+            out = nn.Dense(embed_dim, dtype=c.dtype,
+                           kernel_init=trunc_normal_init(),
+                           name=name)(c.reshape(B, H * W, C))
+            return out.reshape(B, H, W, embed_dim)
+
+        _c4 = resize(linear_embed(c4, 'linear_c4'), size=c1.shape[1:3],
+                     mode='bilinear', align_corners=False)
+        _c3 = resize(linear_embed(c3, 'linear_c3'), size=c1.shape[1:3],
+                     mode='bilinear', align_corners=False)
+        _c2 = resize(linear_embed(c2, 'linear_c2'), size=c1.shape[1:3],
+                     mode='bilinear', align_corners=False)
+        _c1 = linear_embed(c1, 'linear_c1')
+
+        _c = ConvModule(out_channels=embed_dim, kernel_size=1,
+                        norm_cfg=self.norm_cfg or dict(type='SyncBN'),
+                        name='linear_fuse')(
+            jnp.concatenate([_c4, _c3, _c2, _c1], axis=-1), train=train)
+
+        x = nn.Dropout(self.dropout_ratio, broadcast_dims=(1, 2),
+                       name='dropout')(_c, deterministic=not train)
+        x = nn.Conv(self.num_classes, (1, 1),
+                    kernel_init=nn.initializers.normal(0.01),
+                    dtype=x.dtype, name='linear_pred')(x)
+        # '__tap' suffix avoids a scope-name collision with the conv child;
+        # flatten_feats strips it, yielding 'decode_head.linear_pred'
+        self.sow('feats', 'linear_pred__tap', x)
+        return x

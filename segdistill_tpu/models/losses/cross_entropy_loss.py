@@ -1,0 +1,91 @@
+"""Cross-entropy segmentation losses
+(ref contract: mmseg/models/losses/cross_entropy_loss.py:9-198).
+
+NHWC logits (class axis last), int labels with ignore_index (default 255 from
+the heads). Per-pixel CE is computed in fp32 (the reference head losses run
+under ``@force_fp32``, decode_head.py:217).
+"""
+
+import jax
+import jax.numpy as jnp
+
+from ..builder import LOSSES
+from .utils import weight_reduce_loss
+
+
+def _per_pixel_ce(pred, label, class_weight=None, ignore_index=-100):
+    """Elementwise CE with zeros at ignored pixels (= torch F.cross_entropy
+    with reduction='none')."""
+    pred = pred.astype(jnp.float32)
+    num_classes = pred.shape[-1]
+    valid = (label != ignore_index) & (label >= 0) & (label < num_classes)
+    safe_label = jnp.where(valid, label, 0)
+    lse = jax.nn.logsumexp(pred, axis=-1)
+    picked = jnp.take_along_axis(pred, safe_label[..., None],
+                                 axis=-1)[..., 0]
+    loss = lse - picked
+    if class_weight is not None:
+        cw = jnp.asarray(class_weight, dtype=jnp.float32)
+        loss = loss * cw[safe_label]
+    return jnp.where(valid, loss, 0.0)
+
+
+def cross_entropy(pred, label, weight=None, class_weight=None,
+                  reduction='mean', avg_factor=None, ignore_index=-100):
+    loss = _per_pixel_ce(pred, label, class_weight, ignore_index)
+    if weight is not None:
+        weight = weight.astype(jnp.float32)
+    return weight_reduce_loss(loss, weight=weight, reduction=reduction,
+                              avg_factor=avg_factor)
+
+
+def binary_cross_entropy(pred, label, weight=None, reduction='mean',
+                         avg_factor=None, class_weight=None,
+                         ignore_index=255):
+    """BCE-with-logits path (``use_sigmoid=True``). pred NHWC, label (N,H,W)
+    int → expanded one-hot with the ignore mask folded into the weights
+    (ref: cross_entropy_loss.py:36-103)."""
+    pred = pred.astype(jnp.float32)
+    if pred.ndim != label.ndim:
+        num_classes = pred.shape[-1]
+        valid = (label >= 0) & (label != ignore_index) & (label < num_classes)
+        safe_label = jnp.where(valid, label, 0)
+        onehot = jax.nn.one_hot(safe_label, num_classes, dtype=jnp.float32)
+        onehot = onehot * valid[..., None]
+        valid_w = valid[..., None].astype(jnp.float32)
+        weight = valid_w if weight is None else weight[..., None] * valid_w
+        weight = jnp.broadcast_to(weight, pred.shape)
+        label = onehot
+    label = label.astype(jnp.float32)
+    loss = jnp.maximum(pred, 0) - pred * label + jnp.log1p(
+        jnp.exp(-jnp.abs(pred)))
+    if class_weight is not None:
+        # pos_weight semantics of BCEWithLogits
+        cw = jnp.asarray(class_weight, dtype=jnp.float32)
+        log_sig = jax.nn.log_sigmoid(pred)
+        log_sig_neg = jax.nn.log_sigmoid(-pred)
+        loss = -(cw * label * log_sig + (1 - label) * log_sig_neg)
+    return weight_reduce_loss(loss, weight, reduction=reduction,
+                              avg_factor=avg_factor)
+
+
+@LOSSES.register_module()
+class CrossEntropyLoss:
+
+    def __init__(self, use_sigmoid=False, use_mask=False, reduction='mean',
+                 class_weight=None, loss_weight=1.0):
+        if use_mask:
+            raise NotImplementedError(
+                'mask_cross_entropy is instance-seg only; not in KD scope')
+        self.use_sigmoid = use_sigmoid
+        self.reduction = reduction
+        self.loss_weight = loss_weight
+        self.class_weight = class_weight
+        self.criterion = binary_cross_entropy if use_sigmoid else cross_entropy
+
+    def __call__(self, cls_score, label, weight=None, avg_factor=None,
+                 reduction_override=None, **kwargs):
+        reduction = reduction_override or self.reduction
+        return self.loss_weight * self.criterion(
+            cls_score, label, weight, class_weight=self.class_weight,
+            reduction=reduction, avg_factor=avg_factor, **kwargs)

@@ -1,0 +1,6 @@
+from .base import BaseSegmentor, parse_losses, flatten_feats
+from .encoder_decoder import EncoderDecoder, EncoderDecoderNet
+from .sd_module import SDModule, SDModuleMT
+
+__all__ = ['BaseSegmentor', 'parse_losses', 'flatten_feats',
+           'EncoderDecoder', 'EncoderDecoderNet', 'SDModule', 'SDModuleMT']

@@ -1,0 +1,168 @@
+"""SDModule: the student+frozen-teacher distillation segmentor
+(ref contract: mmseg/models/segmentors/SD_structure.py:18-223).
+
+TPU-first redesign:
+
+* teacher params live in a separate frozen variable tree under
+  ``jax.lax.stop_gradient`` — no ``requires_grad`` bookkeeping, no DDP
+  ``find_unused_parameters`` problem (SURVEY §2.10);
+* the iteration counter driving loss schedules/shuffles is the optimizer
+  step threaded through the jitted train step (pure; resume-safe — the
+  reference needs the ``model.cnt = runner.iter`` hack, apis/train.py:136);
+* inference delegates to the student exactly like the reference
+  (SD_structure.py:146-223).
+"""
+
+import jax
+
+from ...core.utils import add_prefix  # noqa: F401 (loss keys stay flat, ref)
+from ...distill import DistillationLoss, needed_layers
+from .. import builder
+from ..builder import SEGMENTORS
+from .base import BaseSegmentor
+
+
+@SEGMENTORS.register_module()
+class SDModule(BaseSegmentor):
+
+    def __init__(self, cfg_s, cfg_t, train_cfg=None, test_cfg=None,
+                 distillation=None, s_pretrain=None, t_pretrain=None,
+                 dtype=None):
+        self.distillation = distillation or []
+        self.s_pretrain = s_pretrain
+        self.t_pretrain = t_pretrain
+
+        self.student = builder.build_segmentor(
+            dict(cfg_s), train_cfg=train_cfg, test_cfg=test_cfg)
+        cfg_t = dict(cfg_t)
+        cfg_t['pretrained'] = None  # ref SD_structure.py:33
+        self.teacher = builder.build_segmentor(
+            cfg_t, train_cfg=train_cfg, test_cfg=test_cfg)
+
+        self.distillation_loss = DistillationLoss(self.distillation)
+        self.student_layers, self.teacher_layers = \
+            needed_layers(self.distillation)
+        self.log_grad = bool(self.distillation
+                             and 'log_grad' in self.distillation[0])
+
+        self.train_cfg = train_cfg or {}
+        self.test_cfg = test_cfg or {}
+        self.align_corners = False
+        self.num_classes = self.student.num_classes
+
+    # ------------------------------------------------------------------ init
+    def init_variables(self, rng, input_shape=(1, 512, 512, 3)):
+        rng_s, rng_t = jax.random.split(rng)
+        return {
+            'student': self.student.init_variables(rng_s, input_shape),
+            'teacher': self.teacher.init_variables(rng_t, input_shape),
+        }
+
+    # ------------------------------------------------------------- training
+    def forward_train(self, student_vars, teacher_vars, img, gt, step,
+                      rngs=None, shuffle_rng=None):
+        """Pure fn -> (loss dict, new student model state).
+
+        Mirrors SD_structure.py:61-90: student forward (grad), teacher
+        forward (stop_gradient, eval mode), distill losses merged into the
+        loss dict under the reference's key layout.
+        """
+        capture = bool(self.distillation)
+        losses, s_feats, new_state = self.student.forward_train(
+            student_vars, img, gt, rngs=rngs, capture_feats=capture)
+        if capture:
+            # unused taps never reach the loss -> XLA dead-code-eliminates
+            # them at train-step compile; no filtering needed
+            t_feats = self.teacher.forward_feats(
+                jax.lax.stop_gradient(teacher_vars), img, train=False)
+            d_losses = self.distillation_loss(
+                s_feats, t_feats, gt, step, rng=shuffle_rng)
+            losses.update(d_losses)
+        return losses, new_state
+
+    # ------------------------------------------------------------ inference
+    def encode_decode(self, variables, img, train=False):
+        return self.student.encode_decode(variables, img, train=train)
+
+    def whole_inference(self, variables, img, ori_shape=None, rescale=False):
+        return self.student.whole_inference(variables, img, ori_shape,
+                                            rescale)
+
+    def slide_inference(self, variables, img, ori_shape=None, rescale=False):
+        return self.student.slide_inference(variables, img, ori_shape,
+                                            rescale)
+
+    def inference(self, variables, img, ori_shape=None, rescale=False,
+                  flip=False, flip_direction='horizontal'):
+        return self.student.inference(variables, img, ori_shape, rescale,
+                                      flip, flip_direction)
+
+    def simple_test(self, variables, img, ori_shape=None, rescale=True,
+                    flip=False, flip_direction='horizontal'):
+        return self.student.simple_test(variables, img, ori_shape, rescale,
+                                        flip, flip_direction)
+
+    def aug_test(self, variables, imgs, metas, rescale=True):
+        return self.student.aug_test(variables, imgs, metas, rescale)
+
+
+@SEGMENTORS.register_module()
+class SDModuleMT(BaseSegmentor):
+    """Multi-teacher variant (ref SD_structure.py:226-355). Teacher tap names
+    get the teacher index appended (ref opts.py:153-157)."""
+
+    def __init__(self, cfg_s, cfg_t, train_cfg=None, test_cfg=None,
+                 distillation=None, s_pretrain=None, t_pretrain=None):
+        self.distillation = distillation or []
+        self.s_pretrain = s_pretrain
+        self.t_pretrain = t_pretrain
+
+        self.student = builder.build_segmentor(
+            dict(cfg_s), train_cfg=train_cfg, test_cfg=test_cfg)
+        self.teachers = []
+        for c in cfg_t:
+            c = dict(c)
+            c['pretrained'] = None
+            self.teachers.append(builder.build_segmentor(
+                c, train_cfg=train_cfg, test_cfg=test_cfg))
+
+        # aligned path of DistillationLossMT (opts.py:198-208): entry i uses
+        # teacher_layer + str(i)
+        self.distillation_loss = DistillationLoss([
+            dict(entry, teacher_layer=entry['teacher_layer'] + str(i))
+            for i, entry in enumerate(self.distillation)])
+        self.student_layers, _ = needed_layers(self.distillation)
+
+        self.train_cfg = train_cfg or {}
+        self.test_cfg = test_cfg or {}
+        self.align_corners = False
+        self.num_classes = self.student.num_classes
+
+    def init_variables(self, rng, input_shape=(1, 512, 512, 3)):
+        rngs = jax.random.split(rng, len(self.teachers) + 1)
+        return {
+            'student': self.student.init_variables(rngs[0], input_shape),
+            'teachers': [t.init_variables(r, input_shape)
+                         for t, r in zip(self.teachers, rngs[1:])],
+        }
+
+    def forward_train(self, student_vars, teacher_vars_list, img, gt, step,
+                      rngs=None, shuffle_rng=None):
+        losses, s_feats, new_state = self.student.forward_train(
+            student_vars, img, gt, rngs=rngs, capture_feats=True)
+        t_feats = {}
+        for i, (teacher, tvars) in enumerate(
+                zip(self.teachers, teacher_vars_list)):
+            feats = teacher.forward_feats(
+                jax.lax.stop_gradient(tvars), img, train=False)
+            t_feats.update({k + str(i): v for k, v in feats.items()})
+        d_losses = self.distillation_loss(s_feats, t_feats, gt, step,
+                                          rng=shuffle_rng)
+        losses.update(d_losses)
+        return losses, new_state
+
+    def simple_test(self, variables, img, **kw):
+        return self.student.simple_test(variables, img, **kw)
+
+    def inference(self, variables, img, **kw):
+        return self.student.inference(variables, img, **kw)

@@ -1,0 +1,99 @@
+"""ConvModule: conv + norm + activation bundle (ref contract: mmcv.cnn.ConvModule).
+
+NHWC layout throughout (TPU-native). ``bias='auto'`` disables the conv bias
+when a norm layer follows, matching the reference behavior.
+"""
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .activation import build_activation
+from .norm import NormLayer
+from .misc import to_2tuple
+
+
+class ConvModule(nn.Module):
+    in_channels: int = None  # kept for config parity; flax infers input width
+    out_channels: int = None
+    kernel_size: int = 1
+    stride: int = 1
+    padding: int = 0
+    dilation: int = 1
+    groups: int = 1
+    bias: object = 'auto'
+    conv_cfg: dict = None
+    norm_cfg: dict = None
+    act_cfg: dict = None
+    order: tuple = ('conv', 'norm', 'act')
+    default_act: dict = None  # class-level default when act_cfg is None
+
+    def _act_cfg(self):
+        if self.act_cfg is not None or self.default_act is not None:
+            return self.act_cfg if self.act_cfg is not None else self.default_act
+        return dict(type='ReLU')
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        with_norm = self.norm_cfg is not None
+        use_bias = self.bias if self.bias != 'auto' else not with_norm
+        k = to_2tuple(self.kernel_size)
+        s = to_2tuple(self.stride)
+        p = to_2tuple(self.padding)
+        d = to_2tuple(self.dilation)
+        act = build_activation(self._act_cfg())
+
+        conv = nn.Conv(
+            features=self.out_channels,
+            kernel_size=k,
+            strides=s,
+            padding=[(p[0], p[0]), (p[1], p[1])],
+            kernel_dilation=d,
+            feature_group_count=self.groups,
+            use_bias=bool(use_bias),
+            dtype=x.dtype,
+            name='conv')
+        norm = NormLayer(norm_cfg=self.norm_cfg, name='norm') if with_norm \
+            else None
+
+        for layer in self.order:
+            if layer == 'conv':
+                x = conv(x)
+            elif layer == 'norm' and with_norm:
+                x = norm(x, train=train)
+            elif layer == 'act':
+                x = act(x)
+        return x
+
+
+class DepthwiseSeparableConvModule(nn.Module):
+    """Depthwise + pointwise ConvModule pair (ref: mmcv DepthwiseSeparableConvModule)."""
+    in_channels: int = None
+    out_channels: int = None
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int = 0
+    dilation: int = 1
+    norm_cfg: dict = None
+    act_cfg: dict = None
+    dw_norm_cfg: object = 'default'
+    dw_act_cfg: object = 'default'
+    pw_norm_cfg: object = 'default'
+    pw_act_cfg: object = 'default'
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        in_ch = x.shape[-1]
+        dw_norm = self.norm_cfg if self.dw_norm_cfg == 'default' else self.dw_norm_cfg
+        dw_act = self.act_cfg if self.dw_act_cfg == 'default' else self.dw_act_cfg
+        pw_norm = self.norm_cfg if self.pw_norm_cfg == 'default' else self.pw_norm_cfg
+        pw_act = self.act_cfg if self.pw_act_cfg == 'default' else self.pw_act_cfg
+        x = ConvModule(
+            out_channels=in_ch, kernel_size=self.kernel_size,
+            stride=self.stride, padding=self.padding, dilation=self.dilation,
+            groups=in_ch, norm_cfg=dw_norm, act_cfg=dw_act,
+            name='depthwise_conv')(x, train=train)
+        x = ConvModule(
+            out_channels=self.out_channels, kernel_size=1,
+            norm_cfg=pw_norm, act_cfg=pw_act,
+            name='pointwise_conv')(x, train=train)
+        return x

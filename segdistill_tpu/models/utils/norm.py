@@ -1,0 +1,47 @@
+"""Norm layer dispatch.
+
+``SyncBN`` in the reference is a native NCCL op (mmcv/torch); on TPU a plain
+``flax.linen.BatchNorm`` under ``jit`` over a sharded global batch already
+computes *global* batch statistics — GSPMD lowers the mean/variance reductions
+to ICI collectives. So SyncBN == BN here by construction.
+"""
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class NormLayer(nn.Module):
+    """Config-dispatched normalization layer.
+
+    Call with ``train=True`` during training (updates running stats for BN
+    variants). Submodule names mirror the torch layout ('bn', 'gn', 'ln') so
+    checkpoint converters and name-based optimizer rules line up.
+    """
+    norm_cfg: dict = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        cfg = dict(self.norm_cfg or dict(type='BN'))
+        norm_type = cfg.pop('type')
+        cfg.pop('requires_grad', None)
+        if norm_type in ('BN', 'SyncBN', 'BN2d', 'BN1d'):
+            return nn.BatchNorm(
+                use_running_average=not train,
+                momentum=1.0 - cfg.pop('momentum', 0.1),
+                epsilon=cfg.pop('eps', 1e-5),
+                dtype=self.dtype, name='bn')(x)
+        if norm_type == 'GN':
+            return nn.GroupNorm(
+                num_groups=cfg.pop('num_groups'),
+                epsilon=cfg.pop('eps', 1e-5),
+                dtype=self.dtype, name='gn')(x)
+        if norm_type == 'LN':
+            return nn.LayerNorm(
+                epsilon=cfg.pop('eps', 1e-5),
+                dtype=self.dtype, name='ln')(x)
+        raise KeyError(f'unsupported norm type {norm_type}')
+
+
+def build_norm_layer(norm_cfg, dtype=jnp.float32, name=None):
+    return NormLayer(norm_cfg=norm_cfg, dtype=dtype, name=name)
