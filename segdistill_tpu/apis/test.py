@@ -1,0 +1,130 @@
+"""Evaluation loops (ref contract: mmseg/apis/test.py).
+
+TPU-native redesign (SURVEY §2.10): instead of gathering pickled prediction
+maps across ranks (ref ``collect_results_cpu/gpu``, test.py:161-235), every
+host evaluates its shard and the per-image (intersect, union, pred, label)
+class histograms are summed globally — 4 x num_classes integers per image.
+
+Variable-size eval images are handled with exact shapes: jitted inference is
+cached per input shape (compile once per distinct aligned size, reused across
+eval rounds in-process).
+"""
+
+import functools
+
+import jax
+import numpy as np
+
+from ..core.evaluation import intersect_and_union, metrics_from_histograms
+from ..utils import get_root_logger, image as imutil
+
+
+def _jit_inference(model):
+    @functools.lru_cache(maxsize=None)
+    def compiled(shape, mode):
+        def fn(variables, img):
+            if mode == 'slide':
+                return model.slide_inference(variables, img, None, False)
+            return model.whole_inference(variables, img, None, False)
+        return jax.jit(fn)
+    return compiled
+
+
+def _softmax(x, axis=-1):
+    x = x - x.max(axis=axis, keepdims=True)
+    e = np.exp(x)
+    return e / e.sum(axis=axis, keepdims=True)
+
+
+def _predict_one(model, variables, compiled, imgs, metas):
+    """TTA-average one sample -> (ori_h, ori_w) argmax map (host numpy).
+
+    Reference ordering preserved (SD_structure.py:146-223): logits at
+    network resolution (device, static shapes) -> bilinear resize to
+    ori_shape -> softmax -> flip-undo -> average over views -> argmax. The
+    resize runs host-side (cv2 handles the per-image variable target) so
+    device programs are cached per input shape.
+    """
+    ori_shape = metas[0]['ori_shape']
+    mode = model.test_cfg.get('mode', 'whole') \
+        if isinstance(model.test_cfg, dict) else 'whole'
+    acc = None
+    for img, meta in zip(imgs, metas):
+        x = np.asarray(img, np.float32)[None]
+        fn = compiled(x.shape, mode)
+        logits = np.asarray(fn(variables, x))[0]
+        h, w = meta['img_shape'][:2]
+        logits = logits[:h, :w]  # crop any padding
+        logits = imutil.imresize(logits, (ori_shape[1], ori_shape[0]),
+                                 interpolation='bilinear')
+        probs = _softmax(logits.astype(np.float32))
+        if meta.get('flip', False):
+            axis = 1 if meta.get('flip_direction',
+                                 'horizontal') == 'horizontal' else 0
+            probs = np.flip(probs, axis=axis)
+        acc = probs if acc is None else acc + probs
+    return np.argmax(acc, axis=-1).astype(np.int64)
+
+
+def single_device_test(model, variables, dataset, show=False, out_dir=None,
+                       efficient_test=False, progress=True):
+    """-> list of per-image argmax maps (ref test.py:35-101)."""
+    compiled = _jit_inference(model)
+    logger = get_root_logger()
+    results = []
+    for idx in range(len(dataset)):
+        data = dataset[idx]
+        imgs = data['img'] if isinstance(data['img'], list) else [data['img']]
+        metas = data['img_metas'] if isinstance(data['img_metas'], list) \
+            else [data['img_metas']]
+        pred = _predict_one(model, variables, compiled, imgs, metas)
+        results.append(pred)
+        if progress and (idx + 1) % 50 == 0:
+            logger.info(f'eval: {idx + 1}/{len(dataset)}')
+    return results
+
+
+def multi_device_test(model, variables, dataset, **kwargs):
+    """Shard the dataset over hosts; -> this host's (indices, results).
+    Metric reduction happens in :func:`fast_evaluate` via histogram psum."""
+    rank, world = jax.process_index(), jax.process_count()
+    indices = list(range(rank, len(dataset), world))
+    compiled = _jit_inference(model)
+    results = []
+    for idx in indices:
+        data = dataset[idx]
+        imgs = data['img'] if isinstance(data['img'], list) else [data['img']]
+        metas = data['img_metas'] if isinstance(data['img_metas'], list) \
+            else [data['img_metas']]
+        results.append(_predict_one(model, variables, compiled, imgs, metas))
+    return indices, results
+
+
+def fast_evaluate(model, variables, dataset, metric='mIoU',
+                  ignore_index=255):
+    """Distributed histogram evaluation -> {'mIoU','mAcc','aAcc'}.
+
+    Gathers 4 x C int histograms per host (sufficient statistics), never
+    full prediction maps.
+    """
+    num_classes = len(dataset.CLASSES)
+    indices, results = multi_device_test(model, variables, dataset)
+    gt_iter = list(dataset.get_gt_seg_maps())
+    total = [np.zeros(num_classes, np.float64) for _ in range(4)]
+    for idx, pred in zip(indices, results):
+        quad = intersect_and_union(
+            pred, gt_iter[idx], num_classes, ignore_index,
+            label_map=dataset.label_map,
+            reduce_zero_label=dataset.reduce_zero_label)
+        for t, q in zip(total, quad):
+            t += q
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        stacked = np.stack(total)
+        stacked = multihost_utils.process_allgather(stacked).sum(axis=0)
+        total = list(stacked)
+    all_acc, acc, iou = metrics_from_histograms(
+        total[0], total[1], total[2], total[3], ('mIoU',))
+    return {'mIoU': float(np.nanmean(iou)),
+            'mAcc': float(np.nanmean(acc)),
+            'aAcc': float(all_acc)}

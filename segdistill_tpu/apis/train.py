@@ -1,0 +1,119 @@
+"""Training orchestration (ref contract: mmseg/apis/train.py:14-138)."""
+
+import os
+import random
+
+import jax
+import numpy as np
+
+from ..datasets import build_dataloader, build_dataset
+from ..engine import (IterBasedRunner, build_lr_schedule, build_optimizer,
+                      build_train_step, create_train_state, resume_latest)
+from ..core.evaluation import EvalHook
+from ..parallel import create_mesh, replicate
+from ..utils import get_root_logger
+
+
+def set_random_seed(seed, deterministic=True):
+    """(ref apis/train.py:14-29). JAX is deterministic by construction with
+    explicit PRNG keys; this seeds the host-side pipeline RNGs."""
+    random.seed(seed)
+    np.random.seed(seed)
+    return jax.random.key(seed)
+
+
+def init_segmentor_state(model, cfg, rng, input_shape=(1, 512, 512, 3)):
+    """Init model variables + load any pretrained/teacher weights.
+    -> (student_variables, teacher_variables_or_empty)."""
+    variables = model.init_variables(rng, input_shape)
+    from ..convert import load_pth_into_variables
+
+    if 'teacher' in variables:  # SDModule
+        student_vars, teacher_vars = variables['student'], \
+            variables['teacher']
+        if getattr(model, 't_pretrain', None):
+            teacher_vars = load_pth_into_variables(
+                teacher_vars, model.t_pretrain, model.teacher,
+                strict=False)  # ref strict=False (SD_structure.py:36)
+        if getattr(model, 's_pretrain', None):
+            student_vars = load_pth_into_variables(
+                student_vars, model.s_pretrain, model.student, strict=True)
+        elif getattr(model.student, 'pretrained', None):
+            student_vars = load_pth_into_variables(
+                student_vars, model.student.pretrained, model.student,
+                strict=False, backbone_only=True)
+        return student_vars, teacher_vars
+    if getattr(model, 'pretrained', None):
+        variables = load_pth_into_variables(
+            variables, model.pretrained, model, strict=False,
+            backbone_only=True)
+    return variables, {}
+
+
+def train_segmentor(model, dataset, cfg, distributed=True, validate=False,
+                    timestamp=None, meta=None):
+    """(ref apis/train.py:32-138)."""
+    logger = get_root_logger()
+    seed = cfg.get('seed', None) or 42
+    rng = set_random_seed(seed)
+
+    datasets = dataset if isinstance(dataset, (list, tuple)) else [dataset]
+    loader = build_dataloader(
+        datasets[0],
+        cfg.data['samples_per_gpu'],
+        cfg.data['workers_per_gpu'],
+        dist=distributed, shuffle=True, seed=seed, drop_last=True)
+
+    mesh = create_mesh()
+    crop = tuple(cfg.get('crop_size', (512, 512)))
+    init_rng, state_rng = jax.random.split(rng)
+    student_vars, teacher_vars = init_segmentor_state(
+        model, cfg, init_rng, (1, crop[0], crop[1], 3))
+
+    max_iters = cfg.runner['max_iters'] if 'runner' in cfg \
+        else cfg['total_iters']
+    lr_schedule = build_lr_schedule(cfg.get('lr_config'),
+                                    cfg.optimizer['lr'], max_iters)
+    tx = build_optimizer(cfg.optimizer, student_vars['params'], lr_schedule)
+    state = create_train_state(state_rng, student_vars, tx)
+
+    state = replicate(state, mesh)
+    teacher_vars = replicate(teacher_vars, mesh)
+
+    work_dir = cfg.get('work_dir')
+    if cfg.get('resume_from'):
+        state, resumed = resume_latest(cfg['resume_from'], state)
+        logger.info(f'resume: {"ok" if resumed else "nothing to resume"} '
+                    f'at iter {int(state.step)}')
+    elif work_dir and cfg.get('auto_resume', False):
+        state, resumed = resume_latest(work_dir, state)
+
+    train_step = build_train_step(model, tx, lr_schedule)
+
+    eval_hook = None
+    if validate and cfg.get('evaluation'):
+        from .test import fast_evaluate
+        val_dataset = build_dataset(cfg.data['val'],
+                                    dict(test_mode=True))
+
+        def eval_fn(runner_state):
+            svars = {'params': runner_state.params,
+                     **runner_state.model_state}
+            return fast_evaluate(model, svars, val_dataset,
+                                 metric=cfg.evaluation.get('metric',
+                                                           'mIoU'))
+        eval_hook = EvalHook(eval_fn,
+                             interval=cfg.evaluation.get('interval', 2000))
+
+    runner = IterBasedRunner(
+        model=model, train_step=train_step, state=state,
+        teacher_vars=teacher_vars, mesh=mesh, max_iters=max_iters,
+        work_dir=work_dir,
+        log_interval=cfg.get('log_config', {}).get('interval', 50),
+        logger=logger,
+        checkpoint_interval=cfg.get('checkpoint_config', {}).get(
+            'interval', 4000),
+        max_keep_ckpts=cfg.get('checkpoint_config', {}).get(
+            'max_keep_ckpts', 1),
+        eval_hook=eval_hook)
+    return runner.run(loader, cfg.get('workflow', [('train', 1)]))

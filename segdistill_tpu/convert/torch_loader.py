@@ -1,0 +1,201 @@
+"""torch ``.pth`` -> flax variables converter.
+
+Plays the role of the reference's checkpoint loaders + converters
+(``mmcv_custom/checkpoint.py``, ``tools/mit_converter.py``,
+``tools/convert_model.py``): loads the published teacher/student/backbone
+zoo into this framework's NHWC flax parameter trees.
+
+Layout conversions: conv (O,I,kh,kw) -> (kh,kw,I,O); linear (O,I) -> (I,O);
+norm weight/bias -> scale/bias (+ running stats into 'batch_stats'). Key
+translation handles both torch module-list names ('block1.0') and this
+framework's flax names ('block1_0'), plus the known structural renames
+(SegFormer MLP '.proj', PPM sequential index, deep-stem sequential, Swin
+names). The Swin relative_position_bias_table is bicubic-interpolated on
+window-size mismatch (ref mmcv_custom/checkpoint.py:320-347).
+"""
+
+import re
+
+import numpy as np
+
+import flax
+
+# (pattern, replacement) applied to the dotted torch key, in order
+_KEY_RULES = [
+    (r'^module\.', ''),
+    (r'\bblock(\d+)\.(\d+)\.', r'block\1_\2.'),
+    (r'\blayer(\d+)\.(\d+)\.', r'layer\1_\2.'),
+    (r'\blayers\.(\d+)\.blocks\.(\d+)\.', r'layers_\1_blocks_\2.'),
+    (r'\blayers\.(\d+)\.downsample\.', r'layers_\1_downsample.'),
+    (r'\bpatch_embed\.proj\.', 'patch_embed_proj.'),
+    (r'\bpatch_embed\.norm\.', 'patch_embed_norm.'),
+    (r'\blinear_c(\d)\.proj\.', r'linear_c\1.'),
+    (r'\bpsp_modules\.(\d+)\.1\.', r'psp_modules.pool_\1.'),
+    (r'\blateral_convs\.(\d+)\.', r'lateral_convs_\1.'),
+    (r'\bfpn_convs\.(\d+)\.', r'fpn_convs_\1.'),
+    (r'\bconvs\.(\d+)\.', r'convs_\1.'),
+    (r'\baspp_modules\.(\d+)\.', r'aspp_\1.'),
+    (r'\bstem\.0\.', 'stem_conv1.'), (r'\bstem\.1\.', 'stem_bn1.'),
+    (r'\bstem\.3\.', 'stem_conv2.'), (r'\bstem\.4\.', 'stem_bn2.'),
+    (r'\bstem\.6\.', 'stem_conv3.'), (r'\bstem\.7\.', 'stem_bn3.'),
+    (r'\bdownsample\.0\.', 'downsample.conv.'),
+    (r'\bdownsample\.1\.', 'downsample.bn.'),
+]
+
+# structural alternates tried when the direct path is absent
+_BASE_ALTERNATES = [
+    (r'^decode_head\.bottleneck\.', 'decode_head.psp_bottleneck.'),
+]
+
+
+def _translate_base(key):
+    for pat, repl in _KEY_RULES:
+        key = re.sub(pat, repl, key)
+    return key
+
+
+def _candidates(base_comps, leaf, ndim):
+    """Possible (collection, flax path) for a torch leaf name."""
+    out = []
+    if leaf == 'weight':
+        if ndim >= 2:
+            out.append(('params', base_comps + ('kernel',)))
+        out.append(('params', base_comps + ('scale',)))
+        for n in ('bn', 'ln', 'gn'):
+            out.append(('params', base_comps + (n, 'scale')))
+    elif leaf == 'bias':
+        out.append(('params', base_comps + ('bias',)))
+        for n in ('bn', 'ln', 'gn'):
+            out.append(('params', base_comps + (n, 'bias')))
+    elif leaf == 'running_mean':
+        out.append(('batch_stats', base_comps + ('mean',)))
+        out.append(('batch_stats', base_comps + ('bn', 'mean')))
+    elif leaf == 'running_var':
+        out.append(('batch_stats', base_comps + ('var',)))
+        out.append(('batch_stats', base_comps + ('bn', 'var')))
+    else:
+        # direct parameter (relative_position_bias_table, pos embeds, ...)
+        out.append(('params', base_comps + (leaf,)))
+    return out
+
+
+def _convert_tensor(torch_arr, target_shape):
+    """Layout-convert a torch tensor to the flax target shape."""
+    arr = np.asarray(torch_arr)
+    if arr.shape == tuple(target_shape):
+        return arr
+    if arr.ndim == 4 and arr.transpose(2, 3, 1, 0).shape == \
+            tuple(target_shape):
+        return arr.transpose(2, 3, 1, 0)  # conv OIHW -> HWIO
+    if arr.ndim == 2 and arr.T.shape == tuple(target_shape):
+        return arr.T  # linear (O,I) -> (I,O)
+    return None
+
+
+def _interp_bias_table(arr, target_shape):
+    """Bicubic resize of the Swin relative position bias table
+    (ref mmcv_custom/checkpoint.py:320-347)."""
+    import cv2
+    L1, nH = arr.shape
+    L2 = target_shape[0]
+    S1, S2 = int(np.sqrt(L1)), int(np.sqrt(L2))
+    table = arr.T.reshape(nH, S1, S1)
+    resized = np.stack([
+        cv2.resize(table[i], (S2, S2), interpolation=cv2.INTER_CUBIC)
+        for i in range(nH)])
+    return resized.reshape(nH, L2).T
+
+
+def load_state_dict_numpy(path):
+    """Load a torch checkpoint as {key: np.ndarray} (cpu torch)."""
+    import torch
+    ckpt = torch.load(path, map_location='cpu', weights_only=False)
+    if isinstance(ckpt, dict) and 'state_dict' in ckpt:
+        ckpt = ckpt['state_dict']
+    elif isinstance(ckpt, dict) and 'model' in ckpt \
+            and isinstance(ckpt['model'], dict):
+        ckpt = ckpt['model']
+    return {k: v.numpy() if hasattr(v, 'numpy') else np.asarray(v)
+            for k, v in ckpt.items()}
+
+
+def translate_state_dict(state_dict, variables, backbone_only=False,
+                         logger=None):
+    """-> (new flat variables dict, matched keys, missing, unexpected)."""
+    flat = {}
+    for col, tree in variables.items():
+        for k, v in flax.traverse_util.flatten_dict(tree).items():
+            flat[(col,) + k] = v
+    new_flat = dict(flat)
+
+    # official backbone-only checkpoints lack the 'backbone.' prefix
+    if backbone_only and not any(k.startswith('backbone.')
+                                 for k in state_dict):
+        state_dict = {'backbone.' + k: v for k, v in state_dict.items()}
+
+    matched, unexpected = set(), []
+    for key, arr in state_dict.items():
+        if key.endswith('num_batches_tracked'):
+            continue
+        base = _translate_base(key)
+        bases = [base] + [re.sub(p, r, base) for p, r in _BASE_ALTERNATES
+                          if re.match(p, base)]
+        comps_leaf = [(tuple(b.split('.')[:-1]), b.split('.')[-1])
+                      for b in bases]
+        placed = False
+        for comps, leaf in comps_leaf:
+            for col, path in _candidates(comps, leaf, np.asarray(arr).ndim):
+                full = (col,) + path
+                if full in flat:
+                    target_shape = flat[full].shape
+                    conv = _convert_tensor(arr, target_shape)
+                    if conv is None and path[-1].endswith(
+                            'relative_position_bias_table'):
+                        conv = _interp_bias_table(np.asarray(arr),
+                                                  target_shape)
+                    if conv is None:
+                        continue
+                    new_flat[full] = conv.astype(np.asarray(
+                        flat[full]).dtype if hasattr(flat[full], 'dtype')
+                        else np.float32)
+                    matched.add(full)
+                    placed = True
+                    break
+            if placed:
+                break
+        if not placed:
+            unexpected.append(key)
+
+    missing = [k for k in flat if k not in matched]
+    out = {}
+    for col in variables:
+        col_flat = {k[1:]: v for k, v in new_flat.items() if k[0] == col}
+        out[col] = flax.traverse_util.unflatten_dict(col_flat)
+    return out, matched, missing, unexpected
+
+
+def load_pth_into_variables(variables, path, model=None, strict=False,
+                            backbone_only=False):
+    """Load a torch checkpoint into flax ``variables``
+    (ref SD_structure.py:29-37 load semantics)."""
+    from ..utils import get_root_logger
+    logger = get_root_logger()
+    state_dict = load_state_dict_numpy(path)
+    new_vars, matched, missing, unexpected = translate_state_dict(
+        state_dict, variables, backbone_only=backbone_only, logger=logger)
+    interesting_missing = [k for k in missing
+                           if 'dropout' not in '.'.join(map(str, k))]
+    logger.info(f'loaded {path}: {len(matched)} tensors matched, '
+                f'{len(interesting_missing)} missing, '
+                f'{len(unexpected)} unexpected')
+    if unexpected:
+        logger.info(f'  unexpected (first 10): {unexpected[:10]}')
+    if interesting_missing:
+        logger.info('  missing (first 10): '
+                    f'{[".".join(map(str, k)) for k in interesting_missing[:10]]}')
+    if strict and (interesting_missing or unexpected):
+        raise RuntimeError(
+            f'strict load failed for {path}: missing='
+            f'{[".".join(map(str, k)) for k in interesting_missing[:20]]} '
+            f'unexpected={unexpected[:20]}')
+    return new_vars

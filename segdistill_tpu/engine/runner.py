@@ -1,0 +1,139 @@
+"""Iteration-based training runner.
+
+The mmcv ``IterBasedRunner`` + hook zoo (ref apis/train.py:91-138) becomes:
+one jitted ``train_step`` (forward, distill, backward, optimizer, BN update,
+log scalars — a single XLA program) plus a thin python loop for IO-side
+hooks (text logging, checkpointing, periodic eval). Device-host sync happens
+only at the log interval.
+"""
+
+import time
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.segmentors import parse_losses
+from ..parallel import shard_batch
+from ..utils import get_root_logger
+from .train_state import TrainState
+
+
+def build_train_step(model, tx, lr_schedule=None, donate=True):
+    """-> jitted fn(state, teacher_vars, img, gt) -> (state, log_vars).
+
+    ``model``: SDModule (student+teacher) or a bare EncoderDecoder (then
+    ``teacher_vars`` is an empty dict). The iteration counter feeding the
+    distill loss schedules is ``state.step + 1`` — the reference's ``cnt``
+    increments before loss computation (SD_structure.py:62).
+    """
+    is_distill = hasattr(model, 'teacher') or hasattr(model, 'teachers')
+
+    def train_step(state, teacher_vars, img, gt):
+        step = state.step + 1
+        step_rng = jax.random.fold_in(state.rng, step)
+        dropout_rng, shuffle_rng = jax.random.split(step_rng)
+
+        def loss_fn(params):
+            svars = {'params': params, **state.model_state}
+            if is_distill:
+                losses, new_ms = model.forward_train(
+                    svars, teacher_vars, img, gt, step,
+                    rngs={'dropout': dropout_rng}, shuffle_rng=shuffle_rng)
+            else:
+                losses, _, new_ms = model.forward_train(
+                    svars, img, gt, rngs={'dropout': dropout_rng})
+            total, log_vars = parse_losses(losses)
+            return total, (log_vars, new_ms)
+
+        grads, (log_vars, new_ms) = jax.grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(step=step, params=params,
+                                  opt_state=opt_state, model_state=new_ms)
+        if lr_schedule is not None:
+            log_vars['lr'] = lr_schedule(state.step)
+        return new_state, log_vars
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(train_step, donate_argnums=donate_argnums)
+
+
+class IterBasedRunner:
+    """(ref contract: mmcv IterBasedRunner driven by apis/train.py:97-138)."""
+
+    def __init__(self, model, train_step, state, teacher_vars, mesh,
+                 max_iters, work_dir=None, log_interval=50, logger=None,
+                 checkpoint_interval=4000, max_keep_ckpts=1,
+                 eval_hook=None, timers=True):
+        self.model = model
+        self.train_step = train_step
+        self.state = state
+        self.teacher_vars = teacher_vars
+        self.mesh = mesh
+        self.max_iters = max_iters
+        self.work_dir = work_dir
+        self.log_interval = log_interval
+        self.logger = logger or get_root_logger()
+        self.checkpoint_interval = checkpoint_interval
+        self.max_keep_ckpts = max_keep_ckpts
+        self.eval_hook = eval_hook
+        self.timers = timers
+
+    @property
+    def iter(self):
+        return int(self.state.step)
+
+    def run(self, data_loader, workflow=None):
+        """Run to max_iters. ``workflow`` accepted for config parity;
+        only [('train', 1)] is meaningful (the reference default)."""
+        from .checkpoint import save_checkpoint
+
+        start_iter = self.iter
+        self.logger.info(f'Start running, iter {start_iter} -> '
+                         f'{self.max_iters}')
+        it = iter(data_loader)
+        t_data, t_step = 0.0, 0.0
+        pending_logs = None
+        last_t = time.perf_counter()
+        for i in range(start_iter, self.max_iters):
+            t0 = time.perf_counter()
+            batch = next(it)
+            device_batch = shard_batch(
+                {'img': batch['img'],
+                 'gt_semantic_seg': batch['gt_semantic_seg']}, self.mesh)
+            t_data += time.perf_counter() - t0
+
+            self.state, log_vars = self.train_step(
+                self.state, self.teacher_vars, device_batch['img'],
+                device_batch['gt_semantic_seg'])
+            step = i + 1
+
+            if step % self.log_interval == 0:
+                log_vars = jax.device_get(log_vars)  # sync point
+                now = time.perf_counter()
+                t_step = (now - last_t) / self.log_interval
+                last_t = now
+                msg = ', '.join(f'{k}: {float(v):.4f}'
+                                for k, v in sorted(log_vars.items()))
+                self.logger.info(
+                    f'Iter [{step}/{self.max_iters}] '
+                    f'time: {t_step:.3f}, data_time: '
+                    f'{t_data / self.log_interval:.3f}, {msg}')
+                t_data = 0.0
+
+            if self.work_dir and step % self.checkpoint_interval == 0:
+                save_checkpoint(self.work_dir, self.state,
+                                max_keep=self.max_keep_ckpts)
+                self.logger.info(f'Saved checkpoint at iter {step}')
+
+            if self.eval_hook is not None:
+                results = self.eval_hook.after_train_iter(self.state)
+                if results is not None:
+                    self.logger.info(f'Eval at iter {step}: {results}')
+
+        if self.work_dir:
+            save_checkpoint(self.work_dir, self.state,
+                            max_keep=self.max_keep_ckpts)
+        return self.state

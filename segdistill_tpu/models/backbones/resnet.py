@@ -40,12 +40,12 @@ class BasicBlock(nn.Module):
                       padding=self.first_dilation,
                       kernel_dilation=self.first_dilation, use_bias=False,
                       dtype=x.dtype, name='conv1')(x)
-        out = NormLayer(self.norm_cfg, name='norm1')(out, train=train)
+        out = NormLayer(self.norm_cfg, name='bn1')(out, train=train)
         out = nn.relu(out)
         out = nn.Conv(self.planes, (3, 3), padding=self.dilation,
                       kernel_dilation=self.dilation, use_bias=False,
                       dtype=x.dtype, name='conv2')(out)
-        out = NormLayer(self.norm_cfg, name='norm2')(out, train=train)
+        out = NormLayer(self.norm_cfg, name='bn2')(out, train=train)
         if self.downsample:
             identity = _downsample(x, self.planes, self.stride,
                                    self.avg_down, self.norm_cfg, train)
@@ -82,18 +82,18 @@ class Bottleneck(nn.Module):
         # 'pytorch' style: stride lives on the 3x3 conv (ref resnet.py:160)
         out = nn.Conv(width, (1, 1), use_bias=False, dtype=x.dtype,
                       name='conv1')(x)
-        out = NormLayer(self.norm_cfg, name='norm1')(out, train=train)
+        out = NormLayer(self.norm_cfg, name='bn1')(out, train=train)
         out = nn.relu(out)
         out = nn.Conv(width, (3, 3), strides=self.stride,
                       padding=self.first_dilation,
                       kernel_dilation=self.first_dilation,
                       feature_group_count=groups, use_bias=False,
                       dtype=x.dtype, name='conv2')(out)
-        out = NormLayer(self.norm_cfg, name='norm2')(out, train=train)
+        out = NormLayer(self.norm_cfg, name='bn2')(out, train=train)
         out = nn.relu(out)
         out = nn.Conv(self.planes * self.expansion, (1, 1), use_bias=False,
                       dtype=x.dtype, name='conv3')(out)
-        out = NormLayer(self.norm_cfg, name='norm3')(out, train=train)
+        out = NormLayer(self.norm_cfg, name='bn3')(out, train=train)
         if self.downsample:
             identity = _downsample(x, self.planes * self.expansion,
                                    self.stride, self.avg_down,
@@ -120,7 +120,7 @@ class _Downsample(nn.Module):
             stride = self.stride
         x = nn.Conv(self.features, (1, 1), strides=stride, use_bias=False,
                     dtype=x.dtype, name='conv')(x)
-        x = NormLayer(self.norm_cfg, name='norm')(x, train=train)
+        x = NormLayer(self.norm_cfg, name='bn')(x, train=train)
         return x
 
 
@@ -183,12 +183,12 @@ class ResNet(nn.Module):
                             use_bias=False, dtype=x.dtype,
                             name=f'stem_conv{j + 1}')(x)
                 x = NormLayer(self.norm_cfg,
-                              name=f'stem_norm{j + 1}')(x, train=norm_train)
+                              name=f'stem_bn{j + 1}')(x, train=norm_train)
                 x = nn.relu(x)
         else:
             x = nn.Conv(self.stem_channels, (7, 7), strides=2, padding=3,
                         use_bias=False, dtype=x.dtype, name='conv1')(x)
-            x = NormLayer(self.norm_cfg, name='norm1')(x, train=norm_train)
+            x = NormLayer(self.norm_cfg, name='bn1')(x, train=norm_train)
             x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 

@@ -89,8 +89,12 @@ class EncoderDecoder(BaseSegmentor):
     # ------------------------------------------------------------------ init
     def init_variables(self, rng, input_shape=(1, 512, 512, 3)):
         img = jnp.zeros(input_shape, jnp.float32)
-        return self.net.init({'params': rng}, img, train=False,
-                             with_aux=True)
+        # jit the init: eager per-op dispatch of a whole transformer init is
+        # minutes on CPU; one compiled program is seconds
+        init_fn = jax.jit(
+            lambda rng, img: self.net.init({'params': rng}, img,
+                                           train=False, with_aux=True))
+        return init_fn(rng, img)
 
     # ------------------------------------------------------------- training
     def forward_train(self, variables, img, gt, rngs=None,

@@ -27,7 +27,8 @@ class SDModule(BaseSegmentor):
 
     def __init__(self, cfg_s, cfg_t, train_cfg=None, test_cfg=None,
                  distillation=None, s_pretrain=None, t_pretrain=None,
-                 dtype=None):
+                 dtype=None, pretrained=None):
+        del pretrained  # student/teacher weights come via *_pretrain
         self.distillation = distillation or []
         self.s_pretrain = s_pretrain
         self.t_pretrain = t_pretrain

@@ -52,8 +52,15 @@ class ConvModule(nn.Module):
             use_bias=bool(use_bias),
             dtype=x.dtype,
             name='conv')
-        norm = NormLayer(norm_cfg=self.norm_cfg, name='norm') if with_norm \
-            else None
+        # child named by norm kind ('bn'/'gn'/'ln'), matching the torch
+        # ConvModule layout — keeps mmcv custom_keys substring rules (e.g.
+        # 'norm': decay_mult 0) behaving exactly like the reference
+        if with_norm:
+            kind = self.norm_cfg.get('type', 'BN')
+            nname = {'GN': 'gn', 'LN': 'ln'}.get(kind, 'bn')
+            norm = NormLayer(norm_cfg=self.norm_cfg, name=nname)
+        else:
+            norm = None
 
         for layer in self.order:
             if layer == 'conv':

@@ -15,7 +15,11 @@ distillation losses keep the reference's NCHW math).
 import functools
 
 import numpy as np
+import jax
 import jax.numpy as jnp
+
+# fp32 fidelity on the MXU — the distill losses are fp32 islands
+_HIGHEST = jax.lax.Precision.HIGHEST
 
 
 @functools.lru_cache(maxsize=256)
@@ -91,10 +95,10 @@ def resize(x, size=None, scale_factor=None, mode='bilinear',
         if out_h != h:
             mh = jnp.asarray(_linear_matrix(h, out_h, ac))
             # (B,H,W,C) -> (B,out_H,W,C)
-            xf = jnp.einsum('oh,bhwc->bowc', mh, xf)
+            xf = jnp.einsum('oh,bhwc->bowc', mh, xf, precision=_HIGHEST)
         if out_w != w:
             mw = jnp.asarray(_linear_matrix(w, out_w, ac))
-            xf = jnp.einsum('ow,bhwc->bhoc', mw, xf)
+            xf = jnp.einsum('ow,bhwc->bhoc', mw, xf, precision=_HIGHEST)
         out = xf.astype(dtype) if dtype != jnp.float32 else xf
     else:
         raise ValueError(f'unsupported resize mode: {mode}')

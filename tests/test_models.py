@@ -1,0 +1,175 @@
+"""Model forward/shape tests (ref strategy: tests/test_models/*)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from segdistill_tpu.models import (build_backbone, build_head,
+                                   build_segmentor)
+from segdistill_tpu.models.segmentors import flatten_feats
+
+NORM = dict(type='SyncBN', requires_grad=True)
+
+
+def _init_and_run(module, x, **kw):
+    variables = module.init({'params': jax.random.key(0)}, x, **kw)
+    return module.apply(variables, x, **kw), variables
+
+
+def test_mit_b0_shapes():
+    bb = build_backbone(dict(type='mit_b0', style='pytorch'))
+    x = jnp.zeros((1, 64, 64, 3))
+    outs, _ = _init_and_run(bb, x)
+    assert [o.shape for o in outs] == [
+        (1, 16, 16, 32), (1, 8, 8, 64), (1, 4, 4, 160), (1, 2, 2, 256)]
+
+
+def test_resnet50_v1c_d8_shapes():
+    bb = build_backbone(dict(
+        type='ResNetV1c', depth=50, num_stages=4, out_indices=(0, 1, 2, 3),
+        dilations=(1, 1, 2, 4), strides=(1, 2, 1, 1), norm_cfg=NORM,
+        norm_eval=False, style='pytorch', contract_dilation=True))
+    x = jnp.zeros((1, 64, 64, 3))
+    outs, _ = _init_and_run(bb, x)
+    # d8: stages 3,4 keep stride 8 resolution
+    assert [o.shape for o in outs] == [
+        (1, 16, 16, 256), (1, 8, 8, 512), (1, 8, 8, 1024), (1, 8, 8, 2048)]
+
+
+def test_swin_tiny_shapes():
+    bb = build_backbone(dict(type='SwinTransformer', embed_dim=96,
+                             depths=(2, 2, 6, 2), num_heads=(3, 6, 12, 24),
+                             window_size=7, drop_path_rate=0.0))
+    x = jnp.zeros((1, 64, 64, 3))
+    outs, _ = _init_and_run(bb, x)
+    assert [o.shape for o in outs] == [
+        (1, 16, 16, 96), (1, 8, 8, 192), (1, 4, 4, 384), (1, 2, 2, 768)]
+
+
+def test_segformer_head():
+    head = build_head(dict(
+        type='SegFormerHead', in_channels=[32, 64, 160, 256],
+        in_index=[0, 1, 2, 3], feature_strides=[4, 8, 16, 32], channels=128,
+        dropout_ratio=0.1, num_classes=150, norm_cfg=NORM,
+        align_corners=False, decoder_params=dict(embed_dim=256)))
+    feats = [jnp.zeros((1, 16, 16, 32)), jnp.zeros((1, 8, 8, 64)),
+             jnp.zeros((1, 4, 4, 160)), jnp.zeros((1, 2, 2, 256))]
+    variables = head.init({'params': jax.random.key(0)}, feats)
+    out = head.apply(variables, feats)
+    assert out.shape == (1, 16, 16, 150)
+
+
+def test_psp_head():
+    head = build_head(dict(
+        type='PSPHead', in_channels=2048, in_index=3, channels=512,
+        pool_scales=(1, 2, 3, 6), dropout_ratio=0.1, num_classes=150,
+        norm_cfg=NORM, align_corners=False))
+    feats = [jnp.zeros((1, 16, 16, 256)), jnp.zeros((1, 8, 8, 512)),
+             jnp.zeros((1, 8, 8, 1024)), jnp.zeros((1, 8, 8, 2048))]
+    variables = head.init({'params': jax.random.key(0)}, feats)
+    out = head.apply(variables, feats)
+    assert out.shape == (1, 8, 8, 150)
+
+
+def test_uper_head():
+    head = build_head(dict(
+        type='UPerHead', in_channels=[96, 192, 384, 768],
+        in_index=[0, 1, 2, 3], pool_scales=(1, 2, 3, 6), channels=64,
+        dropout_ratio=0.1, num_classes=150, norm_cfg=NORM,
+        align_corners=False))
+    feats = [jnp.zeros((1, 16, 16, 96)), jnp.zeros((1, 8, 8, 192)),
+             jnp.zeros((1, 4, 4, 384)), jnp.zeros((1, 2, 2, 768))]
+    variables = head.init({'params': jax.random.key(0)}, feats)
+    out = head.apply(variables, feats)
+    assert out.shape == (1, 16, 16, 150)
+
+
+def _mini_encdec(num_classes=19):
+    return dict(
+        type='EncoderDecoder',
+        backbone=dict(type='mit_b0', style='pytorch'),
+        decode_head=dict(
+            type='SegFormerHead', in_channels=[32, 64, 160, 256],
+            in_index=[0, 1, 2, 3], feature_strides=[4, 8, 16, 32],
+            channels=128, dropout_ratio=0.1, num_classes=num_classes,
+            norm_cfg=NORM, align_corners=False,
+            decoder_params=dict(embed_dim=64)))
+
+
+def test_encoder_decoder_train_and_test():
+    model = build_segmentor(_mini_encdec(), train_cfg=dict(),
+                            test_cfg=dict(mode='whole'))
+    variables = model.init_variables(jax.random.key(0), (1, 32, 32, 3))
+    img = jnp.zeros((2, 32, 32, 3))
+    gt = jnp.zeros((2, 32, 32), jnp.int32)
+    losses, feats, new_state = model.forward_train(
+        variables, img, gt, rngs={'dropout': jax.random.key(1)},
+        capture_feats=True)
+    assert 'decode.loss_seg' in losses and 'decode.acc_seg' in losses
+    # SegFormerHead keeps reduction='none' (ref segformer_head.py:45-50);
+    # parse_losses means the map
+    assert float(jnp.mean(losses['decode.loss_seg'])) == pytest.approx(
+        np.log(19), rel=0.15)
+    assert 'decode_head.linear_pred' in feats
+    assert 'backbone.block1.0.attn.Q' in feats
+    pred = model.simple_test(variables, img)
+    assert pred.shape == (2, 32, 32)
+
+
+def test_slide_inference_matches_whole_on_small():
+    cfg = _mini_encdec()
+    model = build_segmentor(cfg, train_cfg=dict(),
+                            test_cfg=dict(mode='slide', crop_size=(32, 32),
+                                          stride=(32, 32)))
+    variables = model.init_variables(jax.random.key(0), (1, 32, 32, 3))
+    img = jnp.asarray(np.random.RandomState(0).randn(1, 32, 32, 3),
+                      jnp.float32)
+    # with crop == image, slide must equal whole
+    s = model.slide_inference(variables, img)
+    w = model.whole_inference(variables, img)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(w), atol=1e-5)
+
+
+def test_aux_head_losses():
+    cfg = dict(
+        type='EncoderDecoder',
+        backbone=dict(type='ResNetV1c', depth=18, num_stages=4,
+                      out_indices=(0, 1, 2, 3), dilations=(1, 1, 2, 4),
+                      strides=(1, 2, 1, 1), norm_cfg=NORM,
+                      contract_dilation=True),
+        decode_head=dict(type='PSPHead', in_channels=512, in_index=3,
+                         channels=64, pool_scales=(1, 2),
+                         dropout_ratio=0.1, num_classes=19, norm_cfg=NORM,
+                         align_corners=False),
+        auxiliary_head=dict(type='FCNHead', in_channels=256, in_index=2,
+                            channels=32, num_convs=1, concat_input=False,
+                            dropout_ratio=0.1, num_classes=19,
+                            norm_cfg=NORM, align_corners=False,
+                            loss_decode=dict(type='CrossEntropyLoss',
+                                             use_sigmoid=False,
+                                             loss_weight=0.4)))
+    model = build_segmentor(cfg, train_cfg=dict(),
+                            test_cfg=dict(mode='whole'))
+    variables = model.init_variables(jax.random.key(0), (1, 32, 32, 3))
+    img = jnp.zeros((1, 32, 32, 3))
+    gt = jnp.zeros((1, 32, 32), jnp.int32)
+    losses, _, _ = model.forward_train(
+        variables, img, gt, rngs={'dropout': jax.random.key(1)})
+    assert 'decode.loss_seg' in losses
+    assert 'aux.loss_seg' in losses
+    # aux loss_weight 0.4 applied
+    assert float(losses['aux.loss_seg']) == pytest.approx(
+        0.4 * np.log(19), rel=0.2)
+
+
+def test_feature_tap_names_match_reference():
+    """Hookable layer names must be the reference's dotted names."""
+    bb = build_backbone(dict(type='mit_b0'))
+    x = jnp.zeros((1, 32, 32, 3))
+    variables = bb.init({'params': jax.random.key(0)}, x)
+    _, state = bb.apply(variables, x, mutable=['feats'])
+    names = set(flatten_feats(state['feats']))
+    for expect in ('block1.0.attn.Q', 'block1.0.attn.ATTN', 'block1.0.FEA',
+                   'block4.1.attn.V'):
+        assert expect in names, sorted(names)[:10]

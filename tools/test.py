@@ -1,0 +1,53 @@
+#!/usr/bin/env python
+"""Evaluation CLI (ref contract: tools/test.py)."""
+
+import argparse
+import os.path as osp
+import sys
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
+from segdistill_tpu import Config, DictAction
+from segdistill_tpu.apis import fast_evaluate, single_device_test
+from segdistill_tpu.apis.inference import init_segmentor
+from segdistill_tpu.datasets import build_dataset
+from segdistill_tpu.utils import get_root_logger
+
+
+def parse_args():
+    parser = argparse.ArgumentParser(description='Test a segmentor')
+    parser.add_argument('config')
+    parser.add_argument('checkpoint', nargs='?', default=None,
+                        help='.pth (torch zoo) or orbax work dir')
+    parser.add_argument('--eval', type=str, nargs='+', default=['mIoU'])
+    parser.add_argument('--aug-test', action='store_true',
+                        help='multi-scale + flip TTA')
+    parser.add_argument('--show-dir', help='dir to save painted results')
+    parser.add_argument('--options', nargs='+', action=DictAction)
+    return parser.parse_args()
+
+
+def main():
+    args = parse_args()
+    cfg = Config.fromfile(args.config)
+    if args.options is not None:
+        cfg.merge_from_dict(args.options)
+
+    if args.aug_test:
+        # the reference hardcodes per-dataset ratios (tools/test.py:90-108)
+        pipe = cfg.data['test']['pipeline'][1]
+        pipe['img_ratios'] = [0.5, 0.75, 1.0, 1.25, 1.5, 1.75]
+        pipe['flip'] = True
+
+    logger = get_root_logger()
+    model, variables = init_segmentor(cfg, args.checkpoint)
+    dataset = build_dataset(cfg.data['test'], dict(test_mode=True))
+
+    results = single_device_test(model, variables, dataset)
+    metrics = dataset.evaluate(results, metric=args.eval[0], logger=logger)
+    logger.info(f'Eval results: {metrics}')
+    print(metrics)
+
+
+if __name__ == '__main__':
+    main()
