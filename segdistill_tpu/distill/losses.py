@@ -111,10 +111,43 @@ class KLDLoss:
             return x.reshape(B, C // g, g * H * W)
         raise ValueError(loss_type)
 
+    def _try_fused(self, x_student, x_teacher, gt, step, rng, alpha):
+        """Fused Pallas path for the channel-group pipeline: bilinear
+        upsample + group softmax + KL in one kernel, never materializing
+        the (B, C, H_gt, W_gt) fp32 tensors (ops/pallas/group_kl.py).
+        Channel shuffle commutes with the per-channel spatial resize, so it
+        is applied to the source maps."""
+        from ..ops.pallas import can_use_fused, fused_group_kl
+        if not (self.transform_config
+                and self.transform_config['loss_type'] == 'channel'):
+            return None
+        if self.resize_config:
+            if self.resize_config['mode'] != 'bilinear' \
+                    or self.resize_config.get('align_corners', False):
+                return None
+            out_hw = tuple(gt.shape[-2:] if gt.ndim == 4
+                           else gt.shape[1:3])
+        else:
+            out_hw = x_student.shape[-2:]
+        g = self.transform_config['group_size']
+        if not can_use_fused(x_student.shape, out_hw, g):
+            return None
+        if self.shuffle_config:
+            if rng is None:
+                rng = jax.random.key(0)
+            x_student, x_teacher = self._shuffle(x_student, x_teacher,
+                                                 step, rng)
+        return alpha * fused_group_kl(x_student, x_teacher, out_hw, g,
+                                      self.tau)
+
     def __call__(self, x_student, x_teacher, gt, step, rng=None):
         x_student = x_student.astype(jnp.float32)
         x_teacher = x_teacher.astype(jnp.float32)
         alpha = self.alpha_at(step)
+
+        fused = self._try_fused(x_student, x_teacher, gt, step, rng, alpha)
+        if fused is not None:
+            return fused
 
         if self.resize_config:
             gt_hw = gt.shape[-2:] if gt.ndim == 4 else gt.shape[1:3]

@@ -1,0 +1,315 @@
+"""Fused channel-group KL distillation kernel (Pallas, TPU).
+
+The reference's CGD/CD hot path (``mmseg/models/distillation/losses.py:
+95-113``) materializes two (B, C, H_gt, W_gt) fp32 tensors (bilinear resize
+of student+teacher logits to GT size), then reshapes to channel groups and
+runs softmax+KL over each group — at ADE20K scale that is 2 x 1.26 GB of
+fp32 intermediates churned through HBM several times per step (measured:
+73% of the whole distillation train step).
+
+This kernel never materializes the upsampled tensors. Per (batch, group)
+grid cell the (g, h, w) source blocks live in VMEM and the integer-ratio
+bilinear upsample is decomposed into its r_h x r_w *phase planes*:
+
+    R[r*q + p] = (1-f_p) * S[q + d_p] + f_p * S[q + d_p + 1]
+
+so every upsampled value is an edge-clamped shift + lerp of the source —
+pure VPU work, no gathers, no interpolation matmuls, no interleaving
+(element *order* within a softmax group is irrelevant; only the set
+matters). Softmax statistics are accumulated over the phase planes in two
+passes (max, then sum-exp + KL terms):
+
+    KL(b,k) = W/Z_t - log Z_t + log Z_s,
+    W = sum e_t * [(x_t - m_t) - (x_s - m_s)] / tau
+
+The custom VJP recomputes the phase planes from the tiny source blocks and
+the saved per-group stats (m_s, m_t, Z_s, Z_t) and accumulates
+dL/dx_s = scale * (p_s - p_t)/tau through the transposed shifts. The
+teacher side needs no gradient (stop_gradient).
+
+Numerics match the unfused reference formula exactly (same taps, same
+clamping, fp32 throughout) — see tests/test_pallas_kernel.py.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_VMEM_BUDGET = 10 * 1024 * 1024  # leave headroom of the ~16MB/core
+
+
+def _phase_taps(r):
+    """For output phase p in [0, r): (delta, frac) with
+    src = q + delta + frac, delta in {-1, 0}, frac in [0, 1)."""
+    taps = []
+    for p in range(r):
+        srcf = (p + 0.5) / r - 0.5
+        if srcf < 0:
+            taps.append((-1, 1.0 + srcf))
+        else:
+            taps.append((0, srcf))
+    return taps
+
+
+def _roll(x, shift, axis):
+    """pltpu.roll with any-sign shift (the primitive wants it >= 0)."""
+    n = x.shape[axis]
+    return pltpu.roll(x, shift % n, axis)
+
+
+def _shift(x, d, axis):
+    """x shifted so out[q] = x[q + d], border-clamped. d in {-1, 0, 1}."""
+    if d == 0:
+        return x
+    n = x.shape[axis]
+    rolled = _roll(x, -d, axis)
+    idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, axis)
+    if d == 1:
+        return jnp.where(idx == n - 1, x, rolled)
+    return jnp.where(idx == 0, x, rolled)
+
+
+def _unshift_add(acc, g, d, axis):
+    """Transpose of `_shift`: scatter-add g back through out[q]=x[q+d]."""
+    if d == 0:
+        return acc + g
+    n = g.shape[axis]
+    idx = jax.lax.broadcasted_iota(jnp.int32, g.shape, axis)
+    if d == 1:
+        # fwd: out[q] = x[q+1] (q<n-1), out[n-1] = x[n-1]
+        z = jnp.where(idx == 0, 0.0, _roll(g, 1, axis))
+        z = z + jnp.where(idx == n - 1, g, 0.0)
+    else:
+        # fwd: out[q] = x[q-1] (q>0), out[0] = x[0]
+        z = jnp.where(idx == n - 1, 0.0, _roll(g, -1, axis))
+        z = z + jnp.where(idx == 0, g, 0.0)
+    return acc + z
+
+
+def _lerp_axis(s, d, f, axis):
+    """(1-f)*S[q+d] + f*S[q+d+1] along axis, border-clamped."""
+    if f == 0.0 and d == 0:
+        return s
+    a = _shift(s, d, axis)
+    b = _shift(s, d + 1, axis)
+    return (1.0 - f) * a + f * b
+
+
+def _fwd_kernel(taps_h, taps_w, tau, xs_ref, xt_ref, kl_ref, stats_ref):
+    s_s = xs_ref[0].astype(jnp.float32)
+    s_t = xt_ref[0].astype(jnp.float32)
+
+    # pass 1: group maxes over all phase planes (h-lerp hoisted out of
+    # the w-phase loop to cap live VMEM temporaries)
+    m_s = jnp.float32(-jnp.inf)
+    m_t = jnp.float32(-jnp.inf)
+    for dh, fh in taps_h:
+        ts = _lerp_axis(s_s, dh, fh, 1)
+        tt = _lerp_axis(s_t, dh, fh, 1)
+        for dw, fw in taps_w:
+            m_s = jnp.maximum(m_s, jnp.max(_lerp_axis(ts, dw, fw, 2)))
+            m_t = jnp.maximum(m_t, jnp.max(_lerp_axis(tt, dw, fw, 2)))
+
+    # pass 2: Z_s, Z_t, W
+    z_s = jnp.float32(0.0)
+    z_t = jnp.float32(0.0)
+    w = jnp.float32(0.0)
+    inv_tau = 1.0 / tau
+    for dh, fh in taps_h:
+        ts = _lerp_axis(s_s, dh, fh, 1)
+        tt = _lerp_axis(s_t, dh, fh, 1)
+        for dw, fw in taps_w:
+            rs = _lerp_axis(ts, dw, fw, 2)
+            rt = _lerp_axis(tt, dw, fw, 2)
+            es = jnp.exp((rs - m_s) * inv_tau)
+            et = jnp.exp((rt - m_t) * inv_tau)
+            z_s = z_s + jnp.sum(es)
+            z_t = z_t + jnp.sum(et)
+            w = w + jnp.sum(et * ((rt - m_t) - (rs - m_s))) * inv_tau
+
+    kl_ref[0, 0, 0] = w / z_t - jnp.log(z_t) + jnp.log(z_s)
+    stats_ref[0, 0, 0] = m_s
+    stats_ref[0, 0, 1] = m_t
+    stats_ref[0, 0, 2] = z_s
+    stats_ref[0, 0, 3] = z_t
+
+
+def _bwd_kernel(taps_h, taps_w, tau, scale_ref, xs_ref, xt_ref, stats_ref,
+                dxs_ref):
+    s_s = xs_ref[0].astype(jnp.float32)
+    s_t = xt_ref[0].astype(jnp.float32)
+    m_s = stats_ref[0, 0, 0]
+    m_t = stats_ref[0, 0, 1]
+    inv_zs = 1.0 / stats_ref[0, 0, 2]
+    inv_zt = 1.0 / stats_ref[0, 0, 3]
+    scale = scale_ref[0, 0]  # gbar * alpha / (num_dist * tau)
+    inv_tau = 1.0 / tau
+
+    acc = jnp.zeros_like(s_s)
+    for dh, fh in taps_h:
+        ts = _lerp_axis(s_s, dh, fh, 1)
+        tt = _lerp_axis(s_t, dh, fh, 1)
+        for dw, fw in taps_w:
+            rs = _lerp_axis(ts, dw, fw, 2)
+            rt = _lerp_axis(tt, dw, fw, 2)
+            p_s = jnp.exp((rs - m_s) * inv_tau) * inv_zs
+            p_t = jnp.exp((rt - m_t) * inv_tau) * inv_zt
+            g = (p_s - p_t) * scale
+            # transpose of lerp along w then h
+            if fw != 0.0 or dw != 0:
+                gw = jnp.zeros_like(g)
+                gw = _unshift_add(gw, (1.0 - fw) * g, dw, 2)
+                gw = _unshift_add(gw, fw * g, dw + 1, 2)
+            else:
+                gw = g
+            if fh != 0.0 or dh != 0:
+                acc = _unshift_add(acc, (1.0 - fh) * gw, dh, 1)
+                acc = _unshift_add(acc, fh * gw, dh + 1, 1)
+            else:
+                acc = acc + gw
+    dxs_ref[0] = acc
+
+
+def can_use_fused(shape, out_hw, group_size, align_corners=False):
+    """Fused-kernel eligibility: TPU backend, integer upsample ratio,
+    align_corners False, VMEM budget."""
+    if align_corners:
+        return False
+    b, c, h, w = shape
+    H, W = out_hw
+    if h == 0 or w == 0 or H % h or W % w:
+        return False
+    g = min(group_size, c + (-c) % group_size)
+    if 2 * g * h * w * 4 > _VMEM_BUDGET:
+        return False
+    try:
+        return jax.default_backend() == 'tpu'
+    except Exception:
+        return False
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def fused_group_kl(xs, xt, out_hw, group_size, tau, interpret=False):
+    """alpha-free CGD loss: mean over (b, group) of group-softmax KL at
+    ``out_hw`` resolution. xs/xt: (B, C, h, w) fp32 NCHW (the reference
+    loss layout)."""
+    loss, _ = _fused_fwd(xs, xt, out_hw, group_size, tau, interpret)
+    return loss
+
+
+def _prep(xs, group_size):
+    b, c, h, w = xs.shape
+    pad = (-c) % group_size
+    if pad:
+        xs = jnp.concatenate(
+            [xs, jnp.full((b, pad, h, w), -1e9, xs.dtype)], axis=1)
+    k = (c + pad) // group_size
+    return xs.reshape(b * k, group_size, h, w), k
+
+
+def _fused_fwd(xs, xt, out_hw, group_size, tau, interpret):
+    b = xs.shape[0]
+    xs_p, k = _prep(xs.astype(jnp.float32), group_size)
+    xt_p, _ = _prep(xt.astype(jnp.float32), group_size)
+    g, h, w = xs_p.shape[1:]
+    rh, rw = out_hw[0] // h, out_hw[1] // w
+    taps_h = tuple(_phase_taps(rh))
+    taps_w = tuple(_phase_taps(rw))
+
+    kernel = functools.partial(_fwd_kernel, taps_h, taps_w, float(tau))
+    kl, stats = pl.pallas_call(
+        kernel,
+        grid=(b * k,),
+        in_specs=[
+            pl.BlockSpec((1, g, h, w), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g, h, w), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 4), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * k, 1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b * k, 1, 4), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(xs_p, xt_p)
+    num_dist = b * k
+    loss = jnp.sum(kl) / num_dist
+    return loss, (xs, xt, stats)
+
+
+def _fused_bwd(out_hw, group_size, tau, interpret, residuals, gbar):
+    xs, xt, stats = residuals
+    b = xs.shape[0]
+    c = xs.shape[1]
+    xs_p, k = _prep(xs.astype(jnp.float32), group_size)
+    xt_p, _ = _prep(xt.astype(jnp.float32), group_size)
+    g, h, w = xs_p.shape[1:]
+    rh, rw = out_hw[0] // h, out_hw[1] // w
+    taps_h = tuple(_phase_taps(rh))
+    taps_w = tuple(_phase_taps(rw))
+    num_dist = b * k
+    scale = (gbar / (num_dist * tau)).astype(jnp.float32).reshape(1, 1)
+
+    kernel = functools.partial(_bwd_kernel, taps_h, taps_w, float(tau))
+    dxs_p = pl.pallas_call(
+        kernel,
+        grid=(b * k,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, g, h, w), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g, h, w), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 4), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, g, h, w), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * k, g, h, w), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(scale, xs_p, xt_p, stats)
+    dxs = dxs_p.reshape(b, k * g, h, w)[:, :c]
+    return dxs.astype(xs.dtype), jnp.zeros_like(xt)
+
+
+fused_group_kl.defvjp(_fused_fwd, _fused_bwd)
+
+
+def group_kl_reference(xs, xt, out_hw, group_size, tau):
+    """Unfused reference implementation (identical math) for fallback +
+    testing. xs/xt NCHW."""
+    from ..resize import resize_nchw
+    from jax.scipy.special import xlogy
+
+    xs = resize_nchw(xs.astype(jnp.float32), size=out_hw, mode='bilinear',
+                     align_corners=False)
+    xt = resize_nchw(xt.astype(jnp.float32), size=out_hw, mode='bilinear',
+                     align_corners=False)
+    b, c, hh, ww = xs.shape
+    pad = (-c) % group_size
+    if pad:
+        fill = jnp.full((b, pad, hh, ww), -1e9, xs.dtype)
+        xs = jnp.concatenate([xs, fill], axis=1)
+        xt = jnp.concatenate([xt, fill], axis=1)
+        c += pad
+    xs = xs.reshape(b, c // group_size, -1)
+    xt = xt.reshape(b, c // group_size, -1)
+    log_s = jax.nn.log_softmax(xs / tau, axis=-1)
+    p_t = jax.nn.softmax(xt / tau, axis=-1)
+    kld = jnp.sum(xlogy(p_t, p_t) - p_t * log_s)
+    return kld / (xs.size / xs.shape[-1])

