@@ -1,0 +1,19 @@
+# segformer student x baseline (ref contract: local_configs/exp_tab5/segformer_baseline.py)
+_base_ = [
+    '../_base_/datasets/ade20k_repeat.py',
+    '../_base_/default_runtime.py',
+    '../_base_/schedules/schedule_160k_adamw.py',
+]
+
+from segdistill_tpu.zoo import (segformer, swin_tiny_upernet, pspnet_r50, sd_model, distill_entry, distill_adamw, swin_adamw, poly_warmup_lr)
+
+cfg_s = segformer('b0', pretrained='pretrained/mit_b0.pth')
+cfg_t = segformer('b3')
+
+model = sd_model(cfg_s, cfg_t, distillation=[])
+
+optimizer = distill_adamw()
+
+lr_config = poly_warmup_lr()
+data = dict(samples_per_gpu=2)
+evaluation = dict(interval=2000, metric='mIoU')
