@@ -28,13 +28,14 @@ def build_train_step(model, tx, lr_schedule=None, donate=True):
     increments before loss computation (SD_structure.py:62).
     """
     is_distill = hasattr(model, 'teacher') or hasattr(model, 'teachers')
+    log_grad = bool(getattr(model, 'log_grad', False))
 
     def train_step(state, teacher_vars, img, gt):
         step = state.step + 1
         step_rng = jax.random.fold_in(state.rng, step)
         dropout_rng, shuffle_rng = jax.random.split(step_rng)
 
-        def loss_fn(params):
+        def losses_fn(params):
             svars = {'params': params, **state.model_state}
             if is_distill:
                 losses, new_ms = model.forward_train(
@@ -43,11 +44,41 @@ def build_train_step(model, tx, lr_schedule=None, donate=True):
             else:
                 losses, _, new_ms = model.forward_train(
                     svars, img, gt, rngs={'dropout': dropout_rng})
+            return losses, new_ms
+
+        def loss_fn(params):
+            losses, new_ms = losses_fn(params)
             total, log_vars = parse_losses(losses)
             return total, (log_vars, new_ms)
 
         grads, (log_vars, new_ms) = jax.grad(
             loss_fn, has_aux=True)(state.params)
+
+        if log_grad:
+            # gradient-conflict diagnostic: angle between the seg-loss and
+            # distill-loss gradients (ref SD_structure.py:92-134). Two extra
+            # backward passes, logged as 'deg'.
+            def _partial(selector):
+                def f(params):
+                    losses, _ = losses_fn(params)
+                    vals = [jnp.mean(v) for k, v in losses.items()
+                            if selector(k)]
+                    return sum(vals) if vals else jnp.float32(0.0)
+                return jax.grad(f)
+
+            g_seg = _partial(lambda k: 'loss_seg' in k)(state.params)
+            g_dist = _partial(
+                lambda k: 'loss' in k and 'loss_seg' not in k
+                and 'acc' not in k)(state.params)
+            dot = sum(jnp.vdot(a, b) for a, b in zip(
+                jax.tree.leaves(g_seg), jax.tree.leaves(g_dist)))
+            n1 = jnp.sqrt(sum(jnp.vdot(a, a) for a in
+                              jax.tree.leaves(g_seg)))
+            n2 = jnp.sqrt(sum(jnp.vdot(a, a) for a in
+                              jax.tree.leaves(g_dist)))
+            cos = dot / jnp.maximum(n1 * n2, 1e-12)
+            log_vars['deg'] = jnp.arccos(
+                jnp.clip(cos, -1.0, 1.0)) * 180.0 / 3.1416
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = state.replace(step=step, params=params,
