@@ -1,0 +1,82 @@
+"""UNet backbone (ref contract: mmseg/models/backbones/unet.py:222,
+up_conv_block util)."""
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ...ops import resize
+from ..builder import BACKBONES
+from ..utils import ConvModule
+
+
+class _ConvBlock(nn.Module):
+    channels: int
+    num_convs: int
+    dilation: int = 1
+    norm_cfg: dict = None
+    act_cfg: dict = None
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        for i in range(self.num_convs):
+            x = ConvModule(out_channels=self.channels, kernel_size=3,
+                           padding=self.dilation, dilation=self.dilation,
+                           norm_cfg=self.norm_cfg, act_cfg=self.act_cfg,
+                           name=f'convs_{i}')(x, train=train)
+        return x
+
+
+@BACKBONES.register_module()
+class UNet(nn.Module):
+    in_channels: int = 3
+    base_channels: int = 64
+    num_stages: int = 5
+    strides: Sequence[int] = (1, 1, 1, 1, 1)
+    enc_num_convs: Sequence[int] = (2, 2, 2, 2, 2)
+    dec_num_convs: Sequence[int] = (2, 2, 2, 2)
+    downsamples: Sequence[bool] = (True, True, True, True)
+    enc_dilations: Sequence[int] = (1, 1, 1, 1, 1)
+    dec_dilations: Sequence[int] = (1, 1, 1, 1)
+    norm_cfg: dict = None
+    act_cfg: dict = None
+    upsample_cfg: dict = None
+    pretrained: str = None
+    style: str = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        x = x.astype(self.dtype)
+        norm_cfg = self.norm_cfg or dict(type='BN')
+        act_cfg = self.act_cfg or dict(type='ReLU')
+
+        enc_outs = []
+        for i in range(self.num_stages):
+            if i > 0 and self.downsamples[i - 1]:
+                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+            x = _ConvBlock(self.base_channels * 2 ** i,
+                           self.enc_num_convs[i],
+                           dilation=self.enc_dilations[i],
+                           norm_cfg=norm_cfg, act_cfg=act_cfg,
+                           name=f'encoder_{i}')(x, train=train)
+            enc_outs.append(x)
+
+        outs = [enc_outs[-1]]
+        d = enc_outs[-1]
+        for i in range(self.num_stages - 2, -1, -1):
+            skip = enc_outs[i]
+            d = resize(d, size=skip.shape[1:3], mode='bilinear',
+                       align_corners=False)
+            d = ConvModule(out_channels=skip.shape[-1], kernel_size=1,
+                           norm_cfg=norm_cfg, act_cfg=act_cfg,
+                           name=f'up_conv_{i}')(d, train=train)
+            d = _ConvBlock(self.base_channels * 2 ** i,
+                           self.dec_num_convs[i],
+                           dilation=self.dec_dilations[i],
+                           norm_cfg=norm_cfg, act_cfg=act_cfg,
+                           name=f'decoder_{i}')(
+                jnp.concatenate([skip, d], axis=-1), train=train)
+            outs.append(d)
+        return tuple(outs)

@@ -5,8 +5,15 @@ from .psp_head import PSPHead
 from .uper_head import UPerHead
 from .aspp_head import ASPPHead
 from .sep_aspp_head import DepthwiseSeparableASPPHead
+from .fpn_head import FPNHead
+from .nl_head import NLHead, GCHead, DNLHead
+from .ocr_head import OCRHead, BaseCascadeDecodeHead
+from .sep_fcn_head import DepthwiseSeparableFCNHead
+from .lraspp_head import LRASPPHead
 
 __all__ = [
     'BaseDecodeHead', 'SegFormerHead', 'FCNHead', 'PSPHead', 'UPerHead',
-    'ASPPHead', 'DepthwiseSeparableASPPHead'
+    'ASPPHead', 'DepthwiseSeparableASPPHead', 'FPNHead', 'NLHead', 'GCHead',
+    'DNLHead', 'OCRHead', 'BaseCascadeDecodeHead',
+    'DepthwiseSeparableFCNHead', 'LRASPPHead'
 ]
