@@ -43,7 +43,10 @@ class OHEMPixelSampler(BasePixelSampler):
                 probs, safe_label[..., None], axis=-1)[..., 0]
             # invalid pixels get prob 2.0 so they sort to the "easy" end
             gt_prob = jnp.where(valid, gt_prob, 2.0).reshape(-1)
-            kth = -jax.lax.top_k(-gt_prob, min_kept)[0][-1]
+            # ref indexes sort_prob[min_kept] (0-based) — the
+            # (min_kept+1)-th smallest (mmseg ohem_pixel_sampler.py:60)
+            k = min(min_kept + 1, gt_prob.size)
+            kth = -jax.lax.top_k(-gt_prob, k)[0][-1]
             threshold = jnp.maximum(kth, self.thresh)
             seg_weight = (gt_prob < threshold) & valid.reshape(-1)
             return seg_weight.reshape(seg_label.shape).astype(jnp.float32)

@@ -75,8 +75,8 @@ class WindowAttention(nn.Module):
         qkv = qkv.reshape(B_, N, 3, nh, hd).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]
 
-        attn = jnp.einsum('bhnd,bhmd->bhnm', q.astype(jnp.float32),
-                          k.astype(jnp.float32)) * scale
+        attn = jnp.einsum('bhnd,bhmd->bhnm', q, k,
+                          preferred_element_type=jnp.float32) * scale
         rel_bias = bias_table[rel_index.reshape(-1)].reshape(
             ws * ws, ws * ws, nh).transpose(2, 0, 1)
         attn = attn + rel_bias[None].astype(attn.dtype)
@@ -100,12 +100,13 @@ class SwinMlp(nn.Module):
     hidden_features: int
     out_features: int
     drop: float = 0.0
+    gelu_approximate: bool = True  # see mix_transformer.Mlp
 
     @nn.compact
     def __call__(self, x, deterministic=True):
         x = nn.Dense(self.hidden_features, dtype=x.dtype,
                      kernel_init=trunc_normal_init(), name='fc1')(x)
-        x = nn.gelu(x, approximate=False)
+        x = nn.gelu(x, approximate=self.gelu_approximate)
         x = nn.Dropout(self.drop)(x, deterministic=deterministic)
         x = nn.Dense(self.out_features, dtype=x.dtype,
                      kernel_init=trunc_normal_init(), name='fc2')(x)

@@ -76,6 +76,12 @@ class BaseDecodeHead(nn.Module):
         seg_logit = resize(seg_logit.astype(jnp.float32),
                            size=seg_label.shape[1:3], mode='bilinear',
                            align_corners=self.align_corners)
+        if self.sampler is not None and seg_weight is None:
+            # pixel sampler (OHEM) -> per-pixel weights
+            # (ref decode_head.py:222-226)
+            from ...core.seg import build_pixel_sampler
+            sampler = build_pixel_sampler(dict(self.sampler), context=self)
+            seg_weight = sampler.sample(seg_logit, seg_label)
         loss_fn = build_loss(self._loss_cfg())
         loss = dict()
         loss['loss_seg'] = loss_fn(seg_logit, seg_label, weight=seg_weight,
