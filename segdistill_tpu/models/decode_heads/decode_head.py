@@ -71,8 +71,32 @@ class BaseDecodeHead(nn.Module):
         self.sow('feats', 'conv_seg__tap', out)
         return out
 
+    def _fused_ce_eligible(self, loss_cfg, seg_weight):
+        return (loss_cfg.get('type') == 'CrossEntropyLoss'
+                and not loss_cfg.get('use_sigmoid', False)
+                and loss_cfg.get('class_weight') is None
+                and seg_weight is None and self.sampler is None)
+
     def losses(self, seg_logit, seg_label, seg_weight=None):
         """(logits NHWC, labels (B,H,W)) -> {'loss_seg','acc_seg'}."""
+        loss_cfg = self._loss_cfg()
+        if self._fused_ce_eligible(loss_cfg, seg_weight):
+            # fused upsample+CE Pallas kernel (ops/pallas/seg_ce.py):
+            # avoids materializing the GT-resolution logits. Identical
+            # value to resize->CE->mean-over-all-pixels.
+            from ...ops.pallas import can_use_fused_ce, fused_seg_ce
+            nchw_shape = (seg_logit.shape[0], seg_logit.shape[3],
+                          seg_logit.shape[1], seg_logit.shape[2])
+            out_hw = seg_label.shape[1:3]
+            if can_use_fused_ce(nchw_shape, out_hw, self.align_corners):
+                z = jnp.transpose(seg_logit, (0, 3, 1, 2))
+                ce_sum, correct = fused_seg_ce(
+                    z, seg_label, tuple(out_hw), self.num_classes,
+                    self.ignore_index)
+                total_px = seg_label.size
+                lw = loss_cfg.get('loss_weight', 1.0)
+                return {'loss_seg': lw * ce_sum / total_px,
+                        'acc_seg': correct * (100.0 / total_px)}
         seg_logit = resize(seg_logit.astype(jnp.float32),
                            size=seg_label.shape[1:3], mode='bilinear',
                            align_corners=self.align_corners)

@@ -1,3 +1,5 @@
 from .group_kl import fused_group_kl, group_kl_reference, can_use_fused
+from .seg_ce import fused_seg_ce, can_use_fused_ce
 
-__all__ = ['fused_group_kl', 'group_kl_reference', 'can_use_fused']
+__all__ = ['fused_group_kl', 'group_kl_reference', 'can_use_fused',
+           'fused_seg_ce', 'can_use_fused_ce']

@@ -1,0 +1,263 @@
+"""Fused segmentation cross-entropy kernel (Pallas, TPU).
+
+The head loss (ref decode_head.py:217-237) bilinearly upsamples the logits
+to GT resolution — for Segformer-B0 on ADE that materializes a
+(B, 150, 512, 512) fp32 tensor plus softmax/backward passes, the same
+HBM-churn pattern the fused distill kernel removes (see group_kl.py).
+
+Phase-plane decomposition as in group_kl, but the per-pixel log-sum-exp
+needs every channel, so channels are processed in tiles against running
+per-pixel (h, w) statistic planes: pass 1 accumulates the per-pixel max,
+pass 2 the exp-sum / picked-logit / argmax — peak VMEM stays at the source
+block + one channel tile instead of a whole-C phase plane (which blew the
+128MB v5e VMEM).
+
+Custom VJP: ``dz_source = unshift(w * (softmax(z) - onehot(y)) * valid *
+scale)``, recomputed tile-by-tile from the same statistics.
+
+Semantics preserved exactly (SURVEY §7 hard part (b)): the CE sum is
+divided by the TOTAL pixel count outside (ignored pixels count in the
+denominator), accuracy counts ignored pixels as incorrect.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .group_kl import _lerp_axis, _phase_taps, _unshift_add
+
+_CTILE = 32  # channels per tile; C padded with -1e9 to a multiple
+
+
+def _phase_labels(labels, rh, rw):
+    """(B, H, W) -> (B, rh*rw, h, w): labels rearranged phase-major so the
+    kernel indexes a contiguous (h, w) plane per phase."""
+    b, H, W = labels.shape
+    h, w = H // rh, W // rw
+    x = labels.reshape(b, h, rh, w, rw)
+    x = x.transpose(0, 2, 4, 1, 3)  # (B, rh, rw, h, w)
+    return x.reshape(b, rh * rw, h, w)
+
+
+def _pad_channels(z, ct):
+    b, c, h, w = z.shape
+    pad = (-c) % ct
+    if pad:
+        z = jnp.concatenate(
+            [z, jnp.full((b, pad, h, w), -1e9, z.dtype)], axis=1)
+    return z
+
+
+def _fwd_kernel(taps_h, taps_w, n_tiles, num_classes, ignore_index,
+                z_ref, y_ref, ce_ref, correct_ref):
+    ct = _CTILE
+    ce_sum = jnp.float32(0.0)
+    correct = jnp.float32(0.0)
+    pi = 0
+    for dh, fh in taps_h:
+        for dw, fw in taps_w:
+            y = y_ref[0, pi]  # (h, w)
+            valid = (y != ignore_index) & (y >= 0) & (y < num_classes)
+            y_safe = jnp.where(valid, y, 0)
+
+            # pass 1 over channel tiles: per-pixel max / argmax / z[y]
+            # (fori_loop, not unrolled: 16 phases x n_tiles x 2 passes
+            # unrolled made Mosaic compile for >10 minutes)
+            def pass1(t, carry):
+                m, best, z_y = carry
+                zt = z_ref[0, pl.ds(t * ct, ct)].astype(jnp.float32)
+                plane = _lerp_axis(_lerp_axis(zt, dh, fh, 1), dw, fw, 2)
+                tmax = jnp.max(plane, axis=0)
+                targ = jnp.argmax(plane, axis=0).astype(jnp.int32) + t * ct
+                best = jnp.where(tmax > m, targ, best)
+                m = jnp.maximum(m, tmax)
+                cls_idx = jax.lax.broadcasted_iota(
+                    jnp.int32, plane.shape, 0) + t * ct
+                onehot = (cls_idx == y_safe[None]).astype(jnp.float32)
+                z_y = z_y + jnp.sum(plane * onehot, axis=0)
+                return m, best, z_y
+
+            m, best, z_y = jax.lax.fori_loop(
+                0, n_tiles, pass1,
+                (jnp.full(y.shape, -jnp.inf, jnp.float32),
+                 jnp.zeros(y.shape, jnp.int32),
+                 jnp.zeros(y.shape, jnp.float32)))
+
+            def pass2(t, se):
+                zt = z_ref[0, pl.ds(t * ct, ct)].astype(jnp.float32)
+                plane = _lerp_axis(_lerp_axis(zt, dh, fh, 1), dw, fw, 2)
+                return se + jnp.sum(jnp.exp(plane - m[None]), axis=0)
+
+            se = jax.lax.fori_loop(0, n_tiles, pass2,
+                                   jnp.zeros(y.shape, jnp.float32))
+
+            lse = m + jnp.log(se)
+            ce_sum += jnp.sum(jnp.where(valid, lse - z_y, 0.0))
+            correct += jnp.sum(((best == y) & valid).astype(jnp.float32))
+            pi += 1
+    ce_ref[0, 0, 0] = ce_sum
+    correct_ref[0, 0, 0] = correct
+
+
+def _bwd_kernel(taps_h, taps_w, n_tiles, num_classes, ignore_index,
+                scale_ref, z_ref, y_ref, dz_ref):
+    ct = _CTILE
+    scale = scale_ref[0, 0]
+    # zero-init accumulator output, then add per phase/tile
+    dz_ref[0] = jnp.zeros_like(dz_ref[0])
+    pi = 0
+    for dh, fh in taps_h:
+        for dw, fw in taps_w:
+            y = y_ref[0, pi]
+            valid = (y != ignore_index) & (y >= 0) & (y < num_classes)
+            y_safe = jnp.where(valid, y, 0)
+            vs = valid.astype(jnp.float32) * scale
+
+            def maxloop(t, m):
+                zt = z_ref[0, pl.ds(t * ct, ct)].astype(jnp.float32)
+                plane = _lerp_axis(_lerp_axis(zt, dh, fh, 1), dw, fw, 2)
+                return jnp.maximum(m, jnp.max(plane, axis=0))
+
+            m = jax.lax.fori_loop(0, n_tiles, maxloop,
+                                  jnp.full(y.shape, -jnp.inf, jnp.float32))
+
+            def seloop(t, se):
+                zt = z_ref[0, pl.ds(t * ct, ct)].astype(jnp.float32)
+                plane = _lerp_axis(_lerp_axis(zt, dh, fh, 1), dw, fw, 2)
+                return se + jnp.sum(jnp.exp(plane - m[None]), axis=0)
+
+            se = jax.lax.fori_loop(0, n_tiles, seloop,
+                                   jnp.zeros(y.shape, jnp.float32))
+            inv_se = 1.0 / se
+
+            def gradloop(t, _):
+                zt = z_ref[0, pl.ds(t * ct, ct)].astype(jnp.float32)
+                plane = _lerp_axis(_lerp_axis(zt, dh, fh, 1), dw, fw, 2)
+                p = jnp.exp(plane - m[None]) * inv_se[None]
+                cls_idx = jax.lax.broadcasted_iota(
+                    jnp.int32, plane.shape, 0) + t * ct
+                onehot = (cls_idx == y_safe[None]).astype(jnp.float32)
+                g = (p - onehot) * vs[None]
+                if fw != 0.0 or dw != 0:
+                    gw = jnp.zeros_like(g)
+                    gw = _unshift_add(gw, (1.0 - fw) * g, dw, 2)
+                    gw = _unshift_add(gw, fw * g, dw + 1, 2)
+                else:
+                    gw = g
+                if fh != 0.0 or dh != 0:
+                    gh = jnp.zeros_like(gw)
+                    gh = _unshift_add(gh, (1.0 - fh) * gw, dh, 1)
+                    gh = _unshift_add(gh, fh * gw, dh + 1, 1)
+                else:
+                    gh = gw
+                dz_ref[0, pl.ds(t * ct, ct)] += gh
+                return 0
+
+            jax.lax.fori_loop(0, n_tiles, gradloop, 0)
+            pi += 1
+
+
+def can_use_fused_ce(logits_shape, out_hw, align_corners=False):
+    if align_corners:
+        return False
+    b, c, h, w = logits_shape
+    H, W = out_hw
+    if h == 0 or w == 0 or H % h or W % w:
+        return False
+    if (H // h) * (W // w) > 256:
+        return False
+    c_pad = c + (-c) % _CTILE
+    # source block + grad accumulator + a few tile temporaries
+    if (2 * c_pad + 8 * _CTILE) * h * w * 4 > 90 * 1024 * 1024:
+        return False
+    try:
+        return jax.default_backend() == 'tpu'
+    except Exception:
+        return False
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def fused_seg_ce(logits, labels, out_hw, num_classes, ignore_index=255,
+                 interpret=False):
+    """logits (B, C, h, w) NCHW; labels (B, H, W) int.
+    -> (ce_sum, correct_count) scalars — divide outside."""
+    out, _ = _fwd(logits, labels, out_hw, num_classes, ignore_index,
+                  interpret)
+    return out
+
+
+def _fwd(logits, labels, out_hw, num_classes, ignore_index, interpret):
+    z = _pad_channels(logits.astype(jnp.float32), _CTILE)
+    b, c, h, w = z.shape
+    n_tiles = c // _CTILE
+    rh, rw = out_hw[0] // h, out_hw[1] // w
+    taps_h = tuple(_phase_taps(rh))
+    taps_w = tuple(_phase_taps(rw))
+    y = _phase_labels(labels.astype(jnp.int32), rh, rw)
+    kernel = functools.partial(_fwd_kernel, taps_h, taps_w, n_tiles,
+                               num_classes, ignore_index)
+    ce, correct = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, c, h, w), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rh * rw, h, w), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, 1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(z, y)
+    return (jnp.sum(ce), jnp.sum(correct)), (logits, labels)
+
+
+def _bwd(out_hw, num_classes, ignore_index, interpret, residuals, gbar):
+    logits, labels = residuals
+    g_ce = gbar[0]  # cotangent of ce_sum (correct count: no gradient)
+    z = _pad_channels(logits.astype(jnp.float32), _CTILE)
+    b, c, h, w = z.shape
+    n_tiles = c // _CTILE
+    rh, rw = out_hw[0] // h, out_hw[1] // w
+    taps_h = tuple(_phase_taps(rh))
+    taps_w = tuple(_phase_taps(rw))
+    y = _phase_labels(labels.astype(jnp.int32), rh, rw)
+    scale = g_ce.astype(jnp.float32).reshape(1, 1)
+    kernel = functools.partial(_bwd_kernel, taps_h, taps_w, n_tiles,
+                               num_classes, ignore_index)
+    dz = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, c, h, w), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rh * rw, h, w), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, c, h, w), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, c, h, w), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(scale, z, y)
+    dz = dz[:, :logits.shape[1]]
+    return dz.astype(logits.dtype), jnp.zeros_like(labels)
+
+
+fused_seg_ce.defvjp(_fwd, _bwd)
