@@ -183,6 +183,7 @@ class MixVisionTransformer(nn.Module):
     depths: Sequence[int] = (3, 4, 6, 3)
     sr_ratios: Sequence[int] = (8, 4, 2, 1)
     gelu_approximate: bool = True
+    with_cp: bool = False  # gradient checkpointing per block (jax.remat)
     dtype: jnp.dtype = jnp.float32
 
     # feature-tap path components needing list-index renames
@@ -197,6 +198,11 @@ class MixVisionTransformer(nn.Module):
         dpr = [self.drop_path_rate * i / max(total - 1, 1)
                for i in range(total)]
 
+        # remat trades recompute for activation memory on long stages
+        # (ref contract: the torch with_cp/checkpointing flag)
+        block_cls = nn.remat(Block, static_argnums=(2, 3, 4)) \
+            if self.with_cp else Block
+
         outs = []
         cur = 0
         patch_cfg = [(7, 4), (3, 2), (3, 2), (3, 2)]
@@ -206,7 +212,7 @@ class MixVisionTransformer(nn.Module):
                 patch_size=ps, stride=st, embed_dim=self.embed_dims[s],
                 name=f'patch_embed{s + 1}')(x)
             for i in range(self.depths[s]):
-                x = Block(dim=self.embed_dims[s],
+                x = block_cls(dim=self.embed_dims[s],
                           num_heads=self.num_heads[s],
                           mlp_ratio=self.mlp_ratios[s],
                           qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
@@ -215,8 +221,7 @@ class MixVisionTransformer(nn.Module):
                           drop_path=dpr[cur + i],
                           sr_ratio=self.sr_ratios[s],
                           gelu_approximate=self.gelu_approximate,
-                          name=f'block{s + 1}_{i}')(x, H, W,
-                                                    deterministic=det)
+                          name=f'block{s + 1}_{i}')(x, H, W, det)
             x = nn.LayerNorm(epsilon=1e-6, dtype=x.dtype,
                              name=f'norm{s + 1}')(x)
             x = x.reshape(x.shape[0], H, W, -1)

@@ -150,7 +150,7 @@ class ResNet(nn.Module):
     groups: int = 1
     width_per_group: int = 4
     use_groups: bool = False
-    with_cp: bool = False
+    with_cp: bool = False  # accepted for config parity; remat lands on transformer backbones first
     zero_init_residual: bool = True
     dcn: dict = None
     stage_with_dcn: Sequence[bool] = (False, False, False, False)
