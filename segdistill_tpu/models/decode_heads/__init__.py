@@ -10,10 +10,14 @@ from .nl_head import NLHead, GCHead, DNLHead
 from .ocr_head import OCRHead, BaseCascadeDecodeHead
 from .sep_fcn_head import DepthwiseSeparableFCNHead
 from .lraspp_head import LRASPPHead
+from .ann_head import ANNHead
+from .apc_head import APCHead, DMHead
+from .da_head import DAHead, CCHead, EMAHead, EncHead
 
 __all__ = [
     'BaseDecodeHead', 'SegFormerHead', 'FCNHead', 'PSPHead', 'UPerHead',
     'ASPPHead', 'DepthwiseSeparableASPPHead', 'FPNHead', 'NLHead', 'GCHead',
     'DNLHead', 'OCRHead', 'BaseCascadeDecodeHead',
-    'DepthwiseSeparableFCNHead', 'LRASPPHead'
+    'DepthwiseSeparableFCNHead', 'LRASPPHead', 'ANNHead', 'APCHead',
+    'DMHead', 'DAHead', 'CCHead', 'EMAHead', 'EncHead'
 ]

@@ -1,0 +1,242 @@
+"""DANet / CCNet / EMANet / EncNet heads
+(ref contracts: mmseg/models/decode_heads/{da_head.py:178LoC, cc_head.py:42,
+ema_head.py:168, enc_head.py:187})."""
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..builder import HEADS, build_loss
+from ..utils import ConvModule
+from .decode_head import BaseDecodeHead
+
+
+class PAM(nn.Module):
+    """Position attention module (ref da_head.py:12-44)."""
+    channels: int
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        inter = max(self.channels // 8, 1)
+        q = nn.Conv(inter, (1, 1), dtype=x.dtype,
+                    name='query')(x).reshape(b, h * w, inter)
+        k = nn.Conv(inter, (1, 1), dtype=x.dtype,
+                    name='key')(x).reshape(b, h * w, inter)
+        v = nn.Conv(c, (1, 1), dtype=x.dtype,
+                    name='value')(x).reshape(b, h * w, c)
+        attn = nn.softmax(jnp.einsum(
+            'bqc,bkc->bqk', q, k,
+            preferred_element_type=jnp.float32), axis=-1)
+        out = jnp.einsum('bqk,bkc->bqc', attn,
+                         v.astype(jnp.float32)).astype(x.dtype)
+        gamma = self.param('gamma', nn.initializers.zeros, ())
+        return x + gamma * out.reshape(b, h, w, c)
+
+
+class CAM(nn.Module):
+    """Channel attention module (ref da_head.py:47-72)."""
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        f = x.reshape(b, h * w, c).astype(jnp.float32)
+        energy = jnp.einsum('bnc,bnd->bcd', f, f)
+        energy = jnp.max(energy, axis=-1, keepdims=True) - energy
+        attn = nn.softmax(energy, axis=-1)
+        out = jnp.einsum('bcd,bnd->bnc', attn, f).astype(x.dtype)
+        gamma = self.param('gamma', nn.initializers.zeros, ())
+        return x + gamma * out.reshape(b, h, w, c)
+
+
+@HEADS.register_module()
+class DAHead(BaseDecodeHead):
+    pam_channels: int = 64
+
+    @nn.compact
+    def __call__(self, inputs, train=False):
+        x = self._transform_inputs(inputs)
+        pam = ConvModule(out_channels=self.channels, kernel_size=3,
+                         padding=1, norm_cfg=self.norm_cfg,
+                         act_cfg=self.act_cfg,
+                         name='pam_in')(x, train=train)
+        pam = PAM(self.pam_channels, name='pam')(pam)
+        pam = ConvModule(out_channels=self.channels, kernel_size=3,
+                         padding=1, norm_cfg=self.norm_cfg,
+                         act_cfg=self.act_cfg,
+                         name='pam_out')(pam, train=train)
+        cam = ConvModule(out_channels=self.channels, kernel_size=3,
+                         padding=1, norm_cfg=self.norm_cfg,
+                         act_cfg=self.act_cfg,
+                         name='cam_in')(x, train=train)
+        cam = CAM(name='cam')(cam)
+        cam = ConvModule(out_channels=self.channels, kernel_size=3,
+                         padding=1, norm_cfg=self.norm_cfg,
+                         act_cfg=self.act_cfg,
+                         name='cam_out')(cam, train=train)
+        return self.cls_seg(pam + cam, train=train)
+
+
+@HEADS.register_module()
+class CCHead(BaseDecodeHead):
+    """Criss-cross attention head (ref cc_head.py). The native CUDA
+    criss-cross op becomes masked row+column attention — two recurrences
+    cover the full image like the reference."""
+    recurrence: int = 2
+
+    def _cca(self, x, name_prefix):
+        b, h, w, c = x.shape
+        inter = max(c // 8, 1)
+        q = nn.Conv(inter, (1, 1), dtype=x.dtype,
+                    name=f'{name_prefix}_query')(x)
+        k = nn.Conv(inter, (1, 1), dtype=x.dtype,
+                    name=f'{name_prefix}_key')(x)
+        v = nn.Conv(c, (1, 1), dtype=x.dtype,
+                    name=f'{name_prefix}_value')(x)
+        # row attention: each pixel attends over its row (w positions)
+        er = jnp.einsum('bhqc,bhkc->bhqk', q, k,
+                        preferred_element_type=jnp.float32)
+        # column attention: over its column (h positions)
+        ec = jnp.einsum('bqwc,bkwc->bwqk', q, k,
+                        preferred_element_type=jnp.float32)
+        # joint softmax over the criss-cross set; the self position appears
+        # in both branches — mask it out of the column branch (the ref's
+        # -inf diagonal trick in the CUDA op)
+        ec_t = jnp.transpose(ec, (0, 2, 1, 3))  # (b, q=h, w, k=h)
+        diag = jnp.eye(h, dtype=bool)[:, None, :]  # (q, 1, k)
+        ec_t = jnp.where(diag[None], -1e9, ec_t)
+        cat = jnp.concatenate([er, ec_t], axis=-1)  # (b, h, w, w + h)
+        attn = nn.softmax(cat, axis=-1)
+        a_row = attn[..., :w]
+        a_col = attn[..., w:]
+        out = jnp.einsum('bhqk,bhkc->bhqc', a_row,
+                         v.astype(jnp.float32))
+        out = out + jnp.einsum('bqwk,bkwc->bqwc', a_col,
+                               v.astype(jnp.float32))
+        gamma = self.param(f'{name_prefix}_gamma', nn.initializers.zeros,
+                           ())
+        return x + gamma * out.astype(x.dtype)
+
+    @nn.compact
+    def __call__(self, inputs, train=False):
+        x = self._transform_inputs(inputs)
+        out = ConvModule(out_channels=self.channels, kernel_size=3,
+                         padding=1, norm_cfg=self.norm_cfg,
+                         act_cfg=self.act_cfg, name='convs_0')(x,
+                                                               train=train)
+        for r in range(self.recurrence):
+            out = self._cca(out, f'cca_{r}')
+        out = ConvModule(out_channels=self.channels, kernel_size=3,
+                         padding=1, norm_cfg=self.norm_cfg,
+                         act_cfg=self.act_cfg, name='convs_1')(
+            jnp.concatenate([x, out], axis=-1), train=train)
+        return self.cls_seg(out, train=train)
+
+
+@HEADS.register_module()
+class EMAHead(BaseDecodeHead):
+    """Expectation-maximization attention (ref ema_head.py). The EM
+    iterations run under stop_gradient like the reference's no_grad loop;
+    bases are per-forward (the reference's momentum-updated global bases
+    become per-batch initialization from a learned parameter)."""
+    ema_channels: int = 256
+    num_bases: int = 64
+    num_stages: int = 3
+    momentum: float = 0.1
+    concat_input: bool = True
+
+    @nn.compact
+    def __call__(self, inputs, train=False):
+        x = self._transform_inputs(inputs)
+        feat = ConvModule(out_channels=self.ema_channels, kernel_size=3,
+                          padding=1, norm_cfg=self.norm_cfg,
+                          act_cfg=self.act_cfg,
+                          name='ema_in')(x, train=train)
+        b, h, w, c = feat.shape
+        bases0 = self.param('bases', nn.initializers.normal(1.0),
+                            (1, c, self.num_bases))
+        bases = jnp.broadcast_to(bases0, (b, c, self.num_bases))
+        bases = bases / jnp.maximum(
+            jnp.linalg.norm(bases, axis=1, keepdims=True), 1e-6)
+        f = feat.reshape(b, h * w, c).astype(jnp.float32)
+
+        def em_step(i, bases):
+            z = nn.softmax(jnp.einsum('bnc,bck->bnk', f, bases), axis=-1)
+            z = z / jnp.maximum(jnp.sum(z, axis=1, keepdims=True), 1e-6)
+            bases = jnp.einsum('bnc,bnk->bck', f, z)
+            return bases / jnp.maximum(
+                jnp.linalg.norm(bases, axis=1, keepdims=True), 1e-6)
+
+        bases = jax.lax.stop_gradient(jax.lax.fori_loop(
+            0, self.num_stages, em_step, bases.astype(jnp.float32)))
+        z = nn.softmax(jnp.einsum('bnc,bck->bnk', f, bases), axis=-1)
+        recon = jnp.einsum('bnk,bck->bnc', z, bases).astype(feat.dtype)
+        recon = nn.relu(recon.reshape(b, h, w, c))
+        recon = ConvModule(out_channels=self.ema_channels, kernel_size=1,
+                           norm_cfg=self.norm_cfg, act_cfg=None,
+                           name='ema_mid')(recon, train=train)
+        out = nn.relu(feat + recon)
+        out = ConvModule(out_channels=self.channels, kernel_size=3,
+                         padding=1, norm_cfg=self.norm_cfg,
+                         act_cfg=self.act_cfg,
+                         name='ema_out')(out, train=train)
+        if self.concat_input:
+            out = ConvModule(out_channels=self.channels, kernel_size=3,
+                             padding=1, norm_cfg=self.norm_cfg,
+                             act_cfg=self.act_cfg, name='conv_cat')(
+                jnp.concatenate([x, out], axis=-1), train=train)
+        return self.cls_seg(out, train=train)
+
+
+@HEADS.register_module()
+class EncHead(BaseDecodeHead):
+    """Context encoding head with the se-loss auxiliary
+    (ref enc_head.py). The encoding module's residual soft-assignment over
+    learned codewords is einsum-vectorized."""
+    num_codes: int = 32
+    use_se_loss: bool = True
+    add_lateral: bool = False
+    input_transform: str = 'multiple_select'
+
+    @nn.compact
+    def __call__(self, inputs, train=False):
+        x = self._transform_inputs(inputs)[-1]
+        feat = ConvModule(out_channels=self.channels, kernel_size=3,
+                          padding=1, norm_cfg=self.norm_cfg,
+                          act_cfg=self.act_cfg,
+                          name='bottleneck')(x, train=train)
+        b, h, w, c = feat.shape
+        codes = self.param('codewords', nn.initializers.normal(1.0),
+                           (self.num_codes, c))
+        scale = self.param('scale', nn.initializers.uniform(1.0),
+                           (self.num_codes,))
+        f = feat.reshape(b, h * w, c).astype(jnp.float32)
+        resid = f[:, :, None, :] - codes[None, None]  # (b, n, K, c)
+        dist = jnp.sum(resid ** 2, axis=-1) * (-scale[None, None])
+        assign = nn.softmax(dist, axis=-1)
+        enc = jnp.einsum('bnk,bnkc->bkc', assign, resid)
+        enc = nn.relu(nn.LayerNorm(name='enc_norm')(enc)).mean(axis=1)
+        gamma = nn.sigmoid(nn.Dense(c, name='fc')(enc))
+        out = feat * gamma[:, None, None, :].astype(feat.dtype)
+        self.sow('feats', 'enc__tap', enc)
+        out_logits = self.cls_seg(out, train=train)
+        if self.use_se_loss:
+            se = nn.Dense(self.num_classes, name='se_layer')(enc)
+            return out_logits, se
+        return out_logits
+
+    def losses(self, seg_logit, seg_label, seg_weight=None):
+        if isinstance(seg_logit, tuple):
+            seg_logit, se_pred = seg_logit
+            loss = super().losses(seg_logit, seg_label, seg_weight)
+            # se loss: multilabel BCE against classes present in the image
+            onehot = jax.nn.one_hot(
+                jnp.where(seg_label == self.ignore_index, 0, seg_label),
+                self.num_classes)
+            valid = (seg_label != self.ignore_index)[..., None]
+            present = jnp.max(onehot * valid, axis=(1, 2))
+            bce = jnp.maximum(se_pred, 0) - se_pred * present + \
+                jnp.log1p(jnp.exp(-jnp.abs(se_pred)))
+            loss['loss_se'] = 0.2 * jnp.mean(bce)
+            return loss
+        return super().losses(seg_logit, seg_label, seg_weight)
