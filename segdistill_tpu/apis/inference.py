@@ -20,19 +20,46 @@ def init_segmentor(config, checkpoint=None, rng_seed=0,
         model_cfg['pretrained'] = None
     model = build_segmentor(model_cfg)
     variables = model.init_variables(jax.random.key(rng_seed), input_shape)
-    if checkpoint is not None:
-        from ..convert import load_pth_into_variables
-        if 'teacher' in variables:
-            variables = variables['student']
-            model_for_load = model.student
-        else:
-            model_for_load = model
-        variables = load_pth_into_variables(variables, checkpoint,
-                                            model_for_load, strict=False)
-    elif 'teacher' in variables:
+    if 'teacher' in variables:
         variables = variables['student']
+        model_for_load = model.student
+    else:
+        model_for_load = model
+    if checkpoint is not None:
+        import os.path as osp
+        if osp.isdir(checkpoint):
+            # orbax work dir / checkpoint dir produced by training
+            variables = _load_orbax_student(checkpoint, variables)
+        else:
+            from ..convert import load_pth_into_variables
+            variables = load_pth_into_variables(variables, checkpoint,
+                                                model_for_load,
+                                                strict=False)
     model.cfg = config
     return model, variables
+
+
+def _load_orbax_student(path, variables):
+    """Restore student variables from a training work dir (or a raw orbax
+    dir saved by tools/convert_checkpoint.py)."""
+    import os.path as osp
+
+    import orbax.checkpoint as ocp
+
+    ckpt_dir = osp.join(path, 'checkpoints')
+    if osp.isdir(ckpt_dir):
+        # a training work dir: pull params + model_state out of the
+        # TrainState tree (lenient structural restore)
+        mgr = ocp.CheckpointManager(osp.abspath(ckpt_dir))
+        step = mgr.latest_step()
+        restored = mgr.restore(step, args=ocp.args.StandardRestore())
+        mgr.close()
+        out = {'params': restored['params']}
+        out.update(restored.get('model_state', {}))
+        return out
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(osp.abspath(path))
+    return restored
 
 
 class _LoadImage:
