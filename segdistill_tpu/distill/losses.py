@@ -117,10 +117,11 @@ class KLDLoss:
         the (B, C, H_gt, W_gt) fp32 tensors (ops/pallas/group_kl.py).
         Channel shuffle commutes with the per-channel spatial resize, so it
         is applied to the source maps."""
-        from ..ops.pallas import can_use_fused, fused_group_kl
-        if not (self.transform_config
-                and self.transform_config['loss_type'] == 'channel'):
+        from ..ops.pallas import (can_use_fused, can_use_fused_pixel,
+                                  fused_group_kl, fused_pixel_kl)
+        if not self.transform_config:
             return None
+        loss_type = self.transform_config['loss_type']
         if self.resize_config:
             if self.resize_config['mode'] != 'bilinear' \
                     or self.resize_config.get('align_corners', False):
@@ -129,6 +130,20 @@ class KLDLoss:
                            else gt.shape[1:3])
         else:
             out_hw = x_student.shape[-2:]
+        if loss_type == 'pixel':
+            if not can_use_fused_pixel(x_student.shape, out_hw):
+                return None
+            if self.shuffle_config:
+                if rng is None:
+                    rng = jax.random.key(0)
+                x_student, x_teacher = self._shuffle(x_student, x_teacher,
+                                                     step, rng)
+            # num_dist = numel/last_dim of the (B, HW, C) pixel transform
+            num_dist = x_student.shape[0] * out_hw[0] * out_hw[1]
+            return alpha * fused_pixel_kl(x_student, x_teacher, out_hw,
+                                          self.tau) / num_dist
+        if loss_type != 'channel':
+            return None
         g = self.transform_config['group_size']
         if not can_use_fused(x_student.shape, out_hw, g):
             return None

@@ -1,5 +1,7 @@
 from .group_kl import fused_group_kl, group_kl_reference, can_use_fused
 from .seg_ce import fused_seg_ce, can_use_fused_ce
+from .pixel_kl import fused_pixel_kl, can_use_fused_pixel
 
 __all__ = ['fused_group_kl', 'group_kl_reference', 'can_use_fused',
-           'fused_seg_ce', 'can_use_fused_ce']
+           'fused_seg_ce', 'can_use_fused_ce', 'fused_pixel_kl',
+           'can_use_fused_pixel']
