@@ -60,7 +60,7 @@ def _nearest_index(in_size, out_size):
     return np.clip(idx.astype(np.int64), 0, in_size - 1)
 
 
-def _resize_axis(xf, axis, out_size, align_corners):
+def _resize_axis(xf, axis, out_size, align_corners, bf16=False):
     """Bilinear resize of one spatial axis.
 
     Integer-ratio upsampling (the model's x2/x4/x8 paths and the distill
@@ -103,6 +103,12 @@ def _resize_axis(xf, axis, out_size, align_corners):
         # phases reuse the clamped lo/hi rows
         return out
     mat = jnp.asarray(_linear_matrix(in_size, out_size, align_corners))
+    if bf16:
+        mat = mat.astype(jnp.bfloat16)
+        eq = 'oh,bhwc->bowc' if axis == 1 else 'ow,bhwc->bhoc'
+        return jnp.einsum(eq, mat, xf,
+                          preferred_element_type=jnp.float32
+                          ).astype(jnp.bfloat16)
     if axis == 1:
         return jnp.einsum('oh,bhwc->bowc', mat, xf, precision=_HIGHEST)
     return jnp.einsum('ow,bhwc->bhoc', mat, xf, precision=_HIGHEST)
@@ -147,12 +153,24 @@ def resize(x, size=None, scale_factor=None, mode='bilinear',
     elif mode in ('bilinear', 'linear'):
         ac = bool(align_corners)
         dtype = x.dtype
-        xf = x.astype(jnp.float32)
-        if out_h != h:
-            xf = _resize_axis(xf, 1, out_h, ac)
-        if out_w != w:
-            xf = _resize_axis(xf, 2, out_w, ac)
-        out = xf.astype(dtype) if dtype != jnp.float32 else xf
+        # bf16 inputs stay bf16 with fp32 accumulation: upcasting already-
+        # rounded activations buys no precision and forces the ~6x-cost
+        # fp32-HIGHEST matmul decomposition on the MXU. fp32 inputs (the
+        # loss/eval parity paths) keep exact fp32 interpolation.
+        if dtype == jnp.bfloat16:
+            xf = x
+            if out_h != h:
+                xf = _resize_axis(xf, 1, out_h, ac, bf16=True)
+            if out_w != w:
+                xf = _resize_axis(xf, 2, out_w, ac, bf16=True)
+            out = xf.astype(dtype)
+        else:
+            xf = x.astype(jnp.float32)
+            if out_h != h:
+                xf = _resize_axis(xf, 1, out_h, ac)
+            if out_w != w:
+                xf = _resize_axis(xf, 2, out_w, ac)
+            out = xf.astype(dtype) if dtype != jnp.float32 else xf
     else:
         raise ValueError(f'unsupported resize mode: {mode}')
 
