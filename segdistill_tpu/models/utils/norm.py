@@ -25,22 +25,27 @@ class NormLayer(nn.Module):
         cfg = dict(self.norm_cfg or dict(type='BN'))
         norm_type = cfg.pop('type')
         cfg.pop('requires_grad', None)
+        # statistics run in fp32 (dtype=self.dtype default) but the output
+        # returns to the activation dtype — otherwise every BN silently
+        # promotes the rest of a bf16 network to fp32
         if norm_type in ('BN', 'SyncBN', 'BN2d', 'BN1d'):
-            return nn.BatchNorm(
+            out = nn.BatchNorm(
                 use_running_average=not train,
                 momentum=1.0 - cfg.pop('momentum', 0.1),
                 epsilon=cfg.pop('eps', 1e-5),
                 dtype=self.dtype, name='bn')(x)
-        if norm_type == 'GN':
-            return nn.GroupNorm(
+        elif norm_type == 'GN':
+            out = nn.GroupNorm(
                 num_groups=cfg.pop('num_groups'),
                 epsilon=cfg.pop('eps', 1e-5),
                 dtype=self.dtype, name='gn')(x)
-        if norm_type == 'LN':
-            return nn.LayerNorm(
+        elif norm_type == 'LN':
+            out = nn.LayerNorm(
                 epsilon=cfg.pop('eps', 1e-5),
                 dtype=self.dtype, name='ln')(x)
-        raise KeyError(f'unsupported norm type {norm_type}')
+        else:
+            raise KeyError(f'unsupported norm type {norm_type}')
+        return out.astype(x.dtype)
 
 
 def build_norm_layer(norm_cfg, dtype=jnp.float32, name=None):
