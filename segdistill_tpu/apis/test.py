@@ -67,20 +67,82 @@ def _predict_one(model, variables, compiled, imgs, metas):
 
 
 def single_device_test(model, variables, dataset, show=False, out_dir=None,
-                       efficient_test=False, progress=True):
-    """-> list of per-image argmax maps (ref test.py:35-101)."""
+                       efficient_test=False, progress=True, batch_size=1):
+    """-> list of per-image argmax maps (ref test.py:35-101).
+
+    ``batch_size`` > 1 enables shape-grouped batched device inference:
+    single-view samples with identical network input shapes run as one
+    batch (one compile per distinct AlignedResize shape, full MXU
+    occupancy), instead of the reference's strictly per-image loop.
+    """
     compiled = _jit_inference(model)
     logger = get_root_logger()
-    results = []
+    if batch_size <= 1:
+        results = []
+        for idx in range(len(dataset)):
+            data = dataset[idx]
+            imgs = data['img'] if isinstance(data['img'], list) \
+                else [data['img']]
+            metas = data['img_metas'] if isinstance(data['img_metas'],
+                                                    list) \
+                else [data['img_metas']]
+            pred = _predict_one(model, variables, compiled, imgs, metas)
+            results.append(pred)
+            if progress and (idx + 1) % 50 == 0:
+                logger.info(f'eval: {idx + 1}/{len(dataset)}')
+        return results
+    return _batched_test(model, variables, dataset, compiled, batch_size,
+                         logger, progress)
+
+
+def _batched_test(model, variables, dataset, compiled, batch_size, logger,
+                  progress):
+    mode = model.test_cfg.get('mode', 'whole') \
+        if isinstance(model.test_cfg, dict) else 'whole'
+    # load everything host-side, grouped by network input shape
+    groups = {}
+    loaded = []
     for idx in range(len(dataset)):
         data = dataset[idx]
-        imgs = data['img'] if isinstance(data['img'], list) else [data['img']]
+        imgs = data['img'] if isinstance(data['img'], list) \
+            else [data['img']]
         metas = data['img_metas'] if isinstance(data['img_metas'], list) \
             else [data['img_metas']]
-        pred = _predict_one(model, variables, compiled, imgs, metas)
-        results.append(pred)
-        if progress and (idx + 1) % 50 == 0:
-            logger.info(f'eval: {idx + 1}/{len(dataset)}')
+        loaded.append((imgs, metas))
+        if len(imgs) == 1 and not metas[0].get('flip', False):
+            groups.setdefault(np.asarray(imgs[0]).shape, []).append(idx)
+        else:
+            groups.setdefault(('tta', idx), []).append(idx)
+
+    results = [None] * len(dataset)
+    done = 0
+    for key, indices in groups.items():
+        if isinstance(key, tuple) and key and key[0] == 'tta':
+            idx = indices[0]
+            results[idx] = _predict_one(model, variables, compiled,
+                                        *loaded[idx])
+            done += 1
+            continue
+        fn = compiled((batch_size,) + key, mode)
+        for start in range(0, len(indices), batch_size):
+            chunk = indices[start:start + batch_size]
+            batch = np.stack([np.asarray(loaded[i][0][0], np.float32)
+                              for i in chunk])
+            if len(chunk) < batch_size:  # pad the tail batch
+                pad = np.repeat(batch[-1:], batch_size - len(chunk), 0)
+                batch = np.concatenate([batch, pad])
+            logits = np.asarray(fn(variables, batch))
+            for j, i in enumerate(chunk):
+                meta = loaded[i][1][0]
+                ori_shape = meta['ori_shape']
+                h, w = meta['img_shape'][:2]
+                lg = imutil.imresize(logits[j][:h, :w],
+                                     (ori_shape[1], ori_shape[0]),
+                                     interpolation='bilinear')
+                results[i] = np.argmax(lg, axis=-1).astype(np.int64)
+            done += len(chunk)
+            if progress and done % 50 < batch_size:
+                logger.info(f'eval: {done}/{len(dataset)}')
     return results
 
 
