@@ -79,16 +79,21 @@ def _candidates(base_comps, leaf, ndim):
     return out
 
 
-def _convert_tensor(torch_arr, target_shape):
-    """Layout-convert a torch tensor to the flax target shape."""
+def _convert_tensor(torch_arr, target_shape, is_weight=False):
+    """Layout-convert a torch tensor to the flax target shape.
+
+    2D '.weight' leaves always transpose (torch Linear is (O, I), flax
+    Dense is (I, O)) — including square matrices, where a bare shape match
+    would silently skip the transpose.
+    """
     arr = np.asarray(torch_arr)
-    if arr.shape == tuple(target_shape):
-        return arr
-    if arr.ndim == 4 and arr.transpose(2, 3, 1, 0).shape == \
+    if arr.ndim == 2 and is_weight and arr.T.shape == tuple(target_shape):
+        return arr.T  # linear (O,I) -> (I,O)
+    if arr.ndim == 4 and is_weight and arr.transpose(2, 3, 1, 0).shape == \
             tuple(target_shape):
         return arr.transpose(2, 3, 1, 0)  # conv OIHW -> HWIO
-    if arr.ndim == 2 and arr.T.shape == tuple(target_shape):
-        return arr.T  # linear (O,I) -> (I,O)
+    if arr.shape == tuple(target_shape):
+        return arr
     return None
 
 
@@ -148,7 +153,10 @@ def translate_state_dict(state_dict, variables, backbone_only=False,
                 full = (col,) + path
                 if full in flat:
                     target_shape = flat[full].shape
-                    conv = _convert_tensor(arr, target_shape)
+                    conv = _convert_tensor(arr, target_shape,
+                                           is_weight=(leaf == 'weight'
+                                                      and path[-1]
+                                                      == 'kernel'))
                     if conv is None and path[-1].endswith(
                             'relative_position_bias_table'):
                         conv = _interp_bias_table(np.asarray(arr),
