@@ -174,7 +174,10 @@ def translate_state_dict(state_dict, variables, backbone_only=False,
         if not placed:
             unexpected.append(key)
 
-    missing = [k for k in flat if k not in matched]
+    # only weight-bearing collections count as missing; sown intermediates
+    # ('feats' taps) are per-apply outputs, not loadable state
+    missing = [k for k in flat if k not in matched
+               and k[0] in ('params', 'batch_stats')]
     out = {}
     for col in variables:
         col_flat = {k[1:]: v for k, v in new_flat.items() if k[0] == col}

@@ -22,6 +22,21 @@ DATASETS = Registry('dataset')
 PIPELINES = Registry('pipeline')
 
 
+def getitem_with_rng(dataset, idx, rng):
+    """Fetch ``dataset[idx]`` passing the per-sample RNG when the dataset
+    supports it (framework datasets/wrappers do; ad-hoc test datasets may
+    not — they fall back to index-only access)."""
+    import inspect
+    try:
+        accepts = 'rng' in inspect.signature(
+            dataset.__getitem__).parameters
+    except (TypeError, ValueError):
+        accepts = False
+    if accepts:
+        return dataset.__getitem__(idx, rng=rng)
+    return dataset[idx]
+
+
 def _concat_dataset(cfg, default_args=None):
     """Expand list-valued img_dir/ann_dir/split into a ConcatDataset
     (ref builder.py:34-58)."""
@@ -140,10 +155,15 @@ class DataLoader:
                       i + (self.rank + 1) * self.batch_size]
                 for i in range(0, len(order), global_batch)]
 
-    def _load(self, idx, worker_seed):
-        if worker_seed is not None:
-            np.random.seed(worker_seed)
-        return self.dataset[int(idx)]
+    def _load(self, idx, sample_seed):
+        # one private RandomState per sample: deterministic by
+        # (seed, position-in-stream) and safe under thread concurrency —
+        # seeding the process-global numpy RNG from pool threads (the
+        # reference's per-worker-process model, ref builder.py:155-169)
+        # would race here
+        rng = np.random.RandomState(sample_seed) \
+            if sample_seed is not None else None
+        return getitem_with_rng(self.dataset, int(idx), rng)
 
     def __iter__(self):
         q = queue.Queue(maxsize=self.prefetch)

@@ -102,21 +102,24 @@ class CustomDataset:
         if self.custom_classes:
             results['label_map'] = self.label_map
 
-    def __getitem__(self, idx):
+    def __getitem__(self, idx, rng=None):
         if self.test_mode:
-            return self.prepare_test_img(idx)
-        return self.prepare_train_img(idx)
+            return self.prepare_test_img(idx, rng)
+        return self.prepare_train_img(idx, rng)
 
-    def prepare_train_img(self, idx):
+    def prepare_train_img(self, idx, rng=None):
         img_info = self.img_infos[idx]
         ann_info = self.get_ann_info(idx)
-        results = dict(img_info=img_info, ann_info=ann_info)
+        # per-sample RNG: deterministic-by-seed augmentation independent of
+        # worker-thread interleaving (the reference's per-worker-process
+        # seeding, ref datasets/builder.py:155-169)
+        results = dict(img_info=img_info, ann_info=ann_info, rng=rng)
         self.pre_pipeline(results)
         return self.pipeline(results)
 
-    def prepare_test_img(self, idx):
+    def prepare_test_img(self, idx, rng=None):
         img_info = self.img_infos[idx]
-        results = dict(img_info=img_info)
+        results = dict(img_info=img_info, rng=rng)
         self.pre_pipeline(results)
         return self.pipeline(results)
 

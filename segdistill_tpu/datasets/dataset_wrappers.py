@@ -2,7 +2,7 @@
 
 import bisect
 
-from .builder import DATASETS
+from .builder import DATASETS, getitem_with_rng
 
 
 @DATASETS.register_module()
@@ -21,13 +21,13 @@ class ConcatDataset:
     def __len__(self):
         return self.cumulative_sizes[-1]
 
-    def __getitem__(self, idx):
+    def __getitem__(self, idx, rng=None):
         if idx < 0:
             idx = len(self) + idx
         ds_idx = bisect.bisect_right(self.cumulative_sizes, idx)
         sample_idx = idx if ds_idx == 0 \
             else idx - self.cumulative_sizes[ds_idx - 1]
-        return self.datasets[ds_idx][sample_idx]
+        return getitem_with_rng(self.datasets[ds_idx], sample_idx, rng)
 
 
 @DATASETS.register_module()
@@ -40,8 +40,8 @@ class RepeatDataset:
         self.PALETTE = dataset.PALETTE
         self._ori_len = len(dataset)
 
-    def __getitem__(self, idx):
-        return self.dataset[idx % self._ori_len]
+    def __getitem__(self, idx, rng=None):
+        return getitem_with_rng(self.dataset, idx % self._ori_len, rng)
 
     def __len__(self):
         return self.times * self._ori_len

@@ -2,7 +2,13 @@
 (ref contract: mmseg/datasets/pipelines/transforms.py).
 
 Host-side numpy/cv2 implementations with the reference's exact sampling
-semantics (global np.random, seeded per worker by the dataloader). The
+semantics. Randomness: every transform draws from the per-sample
+``results['rng']`` (an ``np.random.RandomState`` injected by the
+dataloader) when present, else the global ``np.random`` — the per-sample
+stream makes augmentation deterministic by seed and independent across
+dataloader worker threads (the reference seeds per worker *process*,
+ref datasets/builder.py:155-169; threads sharing numpy's global RNG would
+race). The
 jitted on-device fused augmentation alternative lives in
 ``segdistill_tpu/data/device_aug.py``; this module is the parity path and
 handles variable-size images.
@@ -13,6 +19,12 @@ from numpy import random
 
 from ...utils import image as imutil
 from ..builder import PIPELINES
+
+
+def _rng(results):
+    """Per-sample RNG if the dataloader injected one, else global np.random
+    (same method surface: randint/uniform/rand/random_sample)."""
+    return results.get('rng') or np.random
 
 
 class _ResizeBase:
@@ -37,41 +49,42 @@ class _ResizeBase:
         self.keep_ratio = keep_ratio
 
     @staticmethod
-    def random_select(img_scales):
-        scale_idx = np.random.randint(len(img_scales))
+    def random_select(img_scales, rng=np.random):
+        scale_idx = rng.randint(len(img_scales))
         return img_scales[scale_idx], scale_idx
 
     @staticmethod
-    def random_sample(img_scales):
+    def random_sample(img_scales, rng=np.random):
         assert len(img_scales) == 2
         longs = [max(s) for s in img_scales]
         shorts = [min(s) for s in img_scales]
-        long_edge = np.random.randint(min(longs), max(longs) + 1)
-        short_edge = np.random.randint(min(shorts), max(shorts) + 1)
+        long_edge = rng.randint(min(longs), max(longs) + 1)
+        short_edge = rng.randint(min(shorts), max(shorts) + 1)
         return (long_edge, short_edge), None
 
     @staticmethod
-    def random_sample_ratio(img_scale, ratio_range):
+    def random_sample_ratio(img_scale, ratio_range, rng=np.random):
         min_ratio, max_ratio = ratio_range
-        ratio = np.random.random_sample() * (max_ratio - min_ratio) \
+        ratio = rng.random_sample() * (max_ratio - min_ratio) \
             + min_ratio
         return (int(img_scale[0] * ratio), int(img_scale[1] * ratio)), None
 
     def _random_scale(self, results):
+        rng = _rng(results)
         if self.ratio_range is not None:
             if self.img_scale is None:
                 h, w = results['img'].shape[:2]
                 scale, scale_idx = self.random_sample_ratio(
-                    (w, h), self.ratio_range)
+                    (w, h), self.ratio_range, rng)
             else:
                 scale, scale_idx = self.random_sample_ratio(
-                    self.img_scale[0], self.ratio_range)
+                    self.img_scale[0], self.ratio_range, rng)
         elif len(self.img_scale) == 1:
             scale, scale_idx = self.img_scale[0], 0
         elif self.multiscale_mode == 'range':
-            scale, scale_idx = self.random_sample(self.img_scale)
+            scale, scale_idx = self.random_sample(self.img_scale, rng)
         else:
-            scale, scale_idx = self.random_select(self.img_scale)
+            scale, scale_idx = self.random_select(self.img_scale, rng)
         results['scale'] = scale
         results['scale_idx'] = scale_idx
 
@@ -181,7 +194,7 @@ class RandomFlip:
     def __call__(self, results):
         if 'flip' not in results:
             flip = True if self.prob is not None \
-                and np.random.rand() < self.prob else False
+                and _rng(results).rand() < self.prob else False
             results['flip'] = flip
         if 'flip_direction' not in results:
             results['flip_direction'] = self.direction
@@ -303,11 +316,11 @@ class RandomCrop:
         self.cat_max_ratio = cat_max_ratio
         self.ignore_index = ignore_index
 
-    def get_crop_bbox(self, img):
+    def get_crop_bbox(self, img, rng=np.random):
         margin_h = max(img.shape[0] - self.crop_size[0], 0)
         margin_w = max(img.shape[1] - self.crop_size[1], 0)
-        offset_h = np.random.randint(0, margin_h + 1)
-        offset_w = np.random.randint(0, margin_w + 1)
+        offset_h = rng.randint(0, margin_h + 1)
+        offset_w = rng.randint(0, margin_w + 1)
         return (offset_h, offset_h + self.crop_size[0],
                 offset_w, offset_w + self.crop_size[1])
 
@@ -318,7 +331,8 @@ class RandomCrop:
 
     def __call__(self, results):
         img = results['img']
-        crop_bbox = self.get_crop_bbox(img)
+        rng = _rng(results)
+        crop_bbox = self.get_crop_bbox(img, rng)
         if self.cat_max_ratio < 1.0:
             for _ in range(10):
                 seg_tmp = self.crop(results['gt_semantic_seg'], crop_bbox)
@@ -327,7 +341,7 @@ class RandomCrop:
                 if len(cnt) > 1 and np.max(cnt) / np.sum(cnt) \
                         < self.cat_max_ratio:
                     break
-                crop_bbox = self.get_crop_bbox(img)
+                crop_bbox = self.get_crop_bbox(img, rng)
 
         img = self.crop(img, crop_bbox)
         results['img'] = img
@@ -377,8 +391,9 @@ class RandomRotate:
         self.auto_bound = auto_bound
 
     def __call__(self, results):
-        rotate = np.random.rand() < self.prob
-        degree = np.random.uniform(min(*self.degree), max(*self.degree))
+        rng = _rng(results)
+        rotate = rng.rand() < self.prob
+        degree = rng.uniform(min(*self.degree), max(*self.degree))
         if rotate:
             results['img'] = imutil.imrotate(
                 results['img'], angle=degree, border_value=self.pad_val,
@@ -486,47 +501,48 @@ class PhotoMetricDistortion:
         img = img.astype(np.float32) * alpha + beta
         return np.clip(img, 0, 255).astype(np.uint8)
 
-    def brightness(self, img):
-        if random.randint(2):
+    def brightness(self, img, rng=random):
+        if rng.randint(2):
             return self.convert(
-                img, beta=random.uniform(-self.brightness_delta,
-                                         self.brightness_delta))
+                img, beta=rng.uniform(-self.brightness_delta,
+                                      self.brightness_delta))
         return img
 
-    def contrast(self, img):
-        if random.randint(2):
+    def contrast(self, img, rng=random):
+        if rng.randint(2):
             return self.convert(
-                img, alpha=random.uniform(self.contrast_lower,
-                                          self.contrast_upper))
+                img, alpha=rng.uniform(self.contrast_lower,
+                                       self.contrast_upper))
         return img
 
-    def saturation(self, img):
-        if random.randint(2):
+    def saturation(self, img, rng=random):
+        if rng.randint(2):
             img = imutil.bgr2hsv(img)
             img[:, :, 1] = self.convert(
-                img[:, :, 1], alpha=random.uniform(self.saturation_lower,
-                                                   self.saturation_upper))
+                img[:, :, 1], alpha=rng.uniform(self.saturation_lower,
+                                                self.saturation_upper))
             img = imutil.hsv2bgr(img)
         return img
 
-    def hue(self, img):
-        if random.randint(2):
+    def hue(self, img, rng=random):
+        if rng.randint(2):
             img = imutil.bgr2hsv(img)
-            img[:, :, 0] = (img[:, :, 0].astype(int) + random.randint(
+            img[:, :, 0] = (img[:, :, 0].astype(int) + rng.randint(
                 -self.hue_delta, self.hue_delta)) % 180
             img = imutil.hsv2bgr(img)
         return img
 
     def __call__(self, results):
+        rng = _rng(results)
         img = results['img']
-        img = self.brightness(img)
-        mode = random.randint(2)
+        img = self.brightness(img, rng)
+        mode = rng.randint(2)
         if mode == 1:
-            img = self.contrast(img)
-        img = self.saturation(img)
-        img = self.hue(img)
+            img = self.contrast(img, rng)
+        img = self.saturation(img, rng)
+        img = self.hue(img, rng)
         if mode == 0:
-            img = self.contrast(img)
+            img = self.contrast(img, rng)
         results['img'] = img
         return results
 

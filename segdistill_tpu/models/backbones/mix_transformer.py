@@ -97,7 +97,10 @@ class Attention(nn.Module):
                          strides=self.sr_ratio, padding='VALID',
                          dtype=x.dtype, name='sr')(x_)
             x_ = x_.reshape(B, -1, C)
-            x_ = nn.LayerNorm(epsilon=1e-6, dtype=x.dtype, name='norm')(x_)
+            # ref mix_transformer.py:89 — plain nn.LayerNorm(dim), i.e. the
+            # torch default eps 1e-5 (the 1e-6 norm_layer partial only
+            # reaches Block/stage norms)
+            x_ = nn.LayerNorm(epsilon=1e-5, dtype=x.dtype, name='norm')(x_)
         else:
             x_ = x
         kv = nn.Dense(2 * C, use_bias=self.qkv_bias, dtype=x.dtype,
@@ -166,7 +169,8 @@ class OverlapPatchEmbed(nn.Module):
                     dtype=x.dtype, name='proj')(x)
         B, H, W, C = x.shape
         x = x.reshape(B, H * W, C)
-        x = nn.LayerNorm(epsilon=1e-6, dtype=x.dtype, name='norm')(x)
+        # ref mix_transformer.py:194 — torch-default eps 1e-5 (see Attention)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=x.dtype, name='norm')(x)
         return x, H, W
 
 
@@ -233,10 +237,11 @@ class MixVisionTransformer(nn.Module):
 def _mit(embed_dims, depths, **kwargs):
     kwargs.pop('style', None)
     kwargs.pop('pretrained', None)
+    kwargs.setdefault('drop_rate', 0.0)
+    kwargs.setdefault('drop_path_rate', 0.1)
     return dict(embed_dims=tuple(embed_dims), num_heads=(1, 2, 5, 8),
                 mlp_ratios=(4, 4, 4, 4), qkv_bias=True,
-                depths=tuple(depths), sr_ratios=(8, 4, 2, 1),
-                drop_rate=0.0, drop_path_rate=0.1, **kwargs)
+                depths=tuple(depths), sr_ratios=(8, 4, 2, 1), **kwargs)
 
 
 # ref variant table: mix_transformer.py:391-442 (factory functions — flax

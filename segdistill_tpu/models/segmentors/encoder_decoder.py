@@ -94,7 +94,9 @@ class EncoderDecoder(BaseSegmentor):
         init_fn = jax.jit(
             lambda rng, img: self.net.init({'params': rng}, img,
                                            train=False, with_aux=True))
-        return init_fn(rng, img)
+        variables = dict(init_fn(rng, img))
+        variables.pop('feats', None)  # taps are captured per-apply, not state
+        return variables
 
     # ------------------------------------------------------------- training
     def forward_train(self, variables, img, gt, rngs=None,

@@ -9,6 +9,8 @@ import pytest
 from segdistill_tpu import Config
 from segdistill_tpu.models import build_segmentor
 
+pytestmark = pytest.mark.slow
+
 CFG_ROOT = osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))),
                     'configs')
 ALL_CONFIGS = sorted(

@@ -8,6 +8,8 @@ import pytest
 
 from segdistill_tpu.models import build_head
 
+pytestmark = pytest.mark.slow
+
 NORM = dict(type='BN')
 FEATS = [jnp.zeros((1, 16, 16, 32)), jnp.zeros((1, 8, 8, 64)),
          jnp.zeros((1, 4, 4, 128)), jnp.zeros((1, 2, 2, 256))]

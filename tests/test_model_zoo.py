@@ -8,6 +8,8 @@ import pytest
 from segdistill_tpu.models import (build_backbone, build_head,
                                    build_segmentor)
 
+pytestmark = pytest.mark.slow
+
 NORM = dict(type='BN')
 
 

@@ -1,0 +1,335 @@
+"""End-to-end torch<->flax numerical parity (VERDICT round-1 item 1).
+
+The gate for the mIoU-parity claim: random-init a torch oracle replica of
+the reference model (tests/torch_ref/), save its ``.pth``, load it through
+the production converter (segdistill_tpu/convert/torch_loader.py), and
+assert
+
+* fp32 logit parity on random inputs (model + converter correct), and
+* a seeded multi-step SGD loss trajectory matches (training step correct).
+
+This is the CI test that would have caught commit e965bf7's square-matrix
+transpose bug automatically.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip('torch')
+
+import jax
+import jax.numpy as jnp
+
+from segdistill_tpu.convert.torch_loader import load_pth_into_variables
+from segdistill_tpu.models import build_segmentor
+
+NORM = dict(type='SyncBN', requires_grad=True)
+
+
+def _randomize(model, seed=0):
+    """Random values in every tensor (incl. BN running stats) so that any
+    mis-mapped or mis-transposed leaf shows up as a logit mismatch."""
+    g = torch.Generator().manual_seed(seed)
+    sd = model.state_dict()
+    for k, v in sd.items():
+        if k.endswith('num_batches_tracked') or v.ndim == 0:
+            continue
+        if 'running_var' in k:
+            sd[k] = 0.5 + torch.rand(v.shape, generator=g)
+        elif 'running_mean' in k:
+            sd[k] = 0.1 * torch.randn(v.shape, generator=g)
+        elif v.ndim == 1 and k.endswith('weight'):  # norm scales
+            sd[k] = 1.0 + 0.2 * torch.rand(v.shape, generator=g)
+        elif v.ndim == 1:  # biases
+            sd[k] = 0.02 * torch.randn(v.shape, generator=g)
+        else:
+            fan_in = int(np.prod(v.shape[1:]))
+            sd[k] = torch.randn(v.shape, generator=g) / np.sqrt(fan_in)
+    model.load_state_dict(sd)
+    return model
+
+
+def _build_torch_segformer(num_classes=19, embed_dim=64):
+    from torch_ref.heads import EncoderDecoder, SegFormerHead
+    from torch_ref.mit import mit_b0
+    head = SegFormerHead([32, 64, 160, 256], embed_dim, num_classes)
+    return EncoderDecoder(mit_b0(), head)
+
+
+def _segformer_cfg(num_classes=19, embed_dim=64):
+    return dict(
+        type='EncoderDecoder',
+        backbone=dict(type='mit_b0', gelu_approximate=False,
+                      drop_path_rate=0.0),
+        decode_head=dict(
+            type='SegFormerHead', in_channels=[32, 64, 160, 256],
+            in_index=[0, 1, 2, 3], feature_strides=[4, 8, 16, 32],
+            channels=128, dropout_ratio=0.0, num_classes=num_classes,
+            norm_cfg=NORM, align_corners=False,
+            decoder_params=dict(embed_dim=embed_dim)),
+        test_cfg=dict(mode='whole'))
+
+
+def _convert(flax_model, torch_model, tmp_path, shape):
+    path = str(tmp_path / 'oracle.pth')
+    torch.save(torch_model.state_dict(), path)
+    variables = flax_model.init_variables(jax.random.PRNGKey(0), shape)
+    return load_pth_into_variables(variables, path, strict=True)
+
+
+class TestSegformerB0Parity:
+    """MiT-b0 + SegFormerHead: the flagship student."""
+
+    @pytest.fixture(scope='class')
+    def setup(self, tmp_path_factory):
+        tmodel = _randomize(_build_torch_segformer()).eval()
+        fmodel = build_segmentor(_segformer_cfg())
+        variables = _convert(fmodel, tmodel,
+                             tmp_path_factory.mktemp('segformer'),
+                             (1, 64, 64, 3))
+        return tmodel, fmodel, variables
+
+    def test_backbone_stage_parity(self, setup):
+        tmodel, fmodel, variables = setup
+        x = np.random.RandomState(1).randn(2, 3, 64, 64).astype(np.float32)
+        with torch.no_grad():
+            t_outs = tmodel.backbone(torch.from_numpy(x))
+        f_outs = fmodel.net.apply(
+            variables, jnp.asarray(x.transpose(0, 2, 3, 1)), train=False,
+            method=fmodel.net.extract_feat)
+        for s, (t, f) in enumerate(zip(t_outs, f_outs)):
+            t = t.numpy()
+            f = np.asarray(f, np.float32).transpose(0, 3, 1, 2)
+            np.testing.assert_allclose(
+                f, t, rtol=1e-4, atol=1e-5,
+                err_msg=f'backbone stage {s + 1} diverged')
+
+    def test_logit_parity(self, setup):
+        tmodel, fmodel, variables = setup
+        x = np.random.RandomState(2).randn(2, 3, 64, 64).astype(np.float32)
+        with torch.no_grad():
+            t_logits = tmodel(torch.from_numpy(x)).numpy()
+        outs = fmodel.net.apply(variables,
+                                jnp.asarray(x.transpose(0, 2, 3, 1)),
+                                train=False, with_aux=False)
+        f_logits = np.asarray(outs['decode'], np.float32).transpose(
+            0, 3, 1, 2)
+        np.testing.assert_allclose(f_logits, t_logits, rtol=1e-4, atol=1e-5)
+
+    def test_train_trajectory(self, setup, tmp_path):
+        """~8 seeded SGD steps: same batches, same loss trajectory.
+
+        Proves the whole jitted train step (forward in train mode, resized
+        CE with reduction='none'+mean, backward, SGD update) matches the
+        torch semantics (ref base.py:128-209 + decode_head.py:217-237)."""
+        tmodel, fmodel, variables = setup
+        import copy
+        tmodel = copy.deepcopy(tmodel).train()
+
+        from segdistill_tpu.engine import (build_train_step,
+                                           create_train_state,
+                                           build_optimizer)
+        lr = 0.05
+        rs = np.random.RandomState(3)
+        batches = [(rs.randn(2, 3, 64, 64).astype(np.float32),
+                    np.where(rs.rand(2, 64, 64) < 0.1, 255,
+                             rs.randint(0, 19, (2, 64, 64))).astype(np.int32))
+                   for _ in range(8)]
+
+        opt = torch.optim.SGD(tmodel.parameters(), lr=lr)
+        t_losses = []
+        for img, gt in batches:
+            opt.zero_grad()
+            loss = tmodel.loss(torch.from_numpy(img),
+                               torch.from_numpy(gt).long())
+            loss.backward()
+            opt.step()
+            t_losses.append(float(loss.detach()))
+
+        tx = build_optimizer(dict(type='SGD', lr=lr, momentum=0.0,
+                                  weight_decay=0.0), variables['params'])
+        state = create_train_state(jax.random.PRNGKey(0), variables, tx)
+        train_step = build_train_step(fmodel, tx, donate=False)
+        f_losses = []
+        for img, gt in batches:
+            state, log_vars = train_step(
+                state, {}, jnp.asarray(img.transpose(0, 2, 3, 1)),
+                jnp.asarray(gt))
+            f_losses.append(float(log_vars['loss']))
+
+        np.testing.assert_allclose(f_losses, t_losses, rtol=2e-4,
+                                   err_msg=f'flax {f_losses} vs torch '
+                                           f'{t_losses}')
+
+
+def _build_torch_psp(num_classes=19, channels=128, aux_channels=64):
+    from torch_ref.heads import EncoderDecoder, FCNHead, PSPHead
+    from torch_ref.resnet import ResNetV1c
+    return EncoderDecoder(
+        ResNetV1c(depth=50), PSPHead(2048, channels, num_classes),
+        auxiliary_head=FCNHead(1024, aux_channels, num_classes))
+
+
+def _psp_cfg(num_classes=19, channels=128, aux_channels=64):
+    return dict(
+        type='EncoderDecoder',
+        backbone=dict(type='ResNetV1c', depth=50, num_stages=4,
+                      out_indices=(0, 1, 2, 3), dilations=(1, 1, 2, 4),
+                      strides=(1, 2, 1, 1), norm_cfg=NORM,
+                      contract_dilation=True, style='pytorch'),
+        decode_head=dict(type='PSPHead', in_channels=2048, in_index=3,
+                         channels=channels, pool_scales=(1, 2, 3, 6),
+                         dropout_ratio=0.0, num_classes=num_classes,
+                         norm_cfg=NORM, align_corners=False),
+        auxiliary_head=dict(type='FCNHead', in_channels=1024, in_index=2,
+                            channels=aux_channels, num_convs=1,
+                            concat_input=False, dropout_ratio=0.0,
+                            num_classes=num_classes, norm_cfg=NORM,
+                            align_corners=False,
+                            loss_decode=dict(type='CrossEntropyLoss',
+                                             use_sigmoid=False,
+                                             loss_weight=0.4)),
+        test_cfg=dict(mode='whole'))
+
+
+class TestPSPResNetParity:
+    """ResNetV1c-50-d8 + PSPHead + FCN aux: the CNN student family."""
+
+    @pytest.fixture(scope='class')
+    def setup(self, tmp_path_factory):
+        tmodel = _randomize(_build_torch_psp(), seed=5).eval()
+        fmodel = build_segmentor(_psp_cfg())
+        variables = _convert(fmodel, tmodel,
+                             tmp_path_factory.mktemp('psp'), (1, 64, 64, 3))
+        return tmodel, fmodel, variables
+
+    def test_logit_parity(self, setup):
+        tmodel, fmodel, variables = setup
+        x = np.random.RandomState(6).randn(2, 3, 64, 64).astype(np.float32)
+        with torch.no_grad():
+            t_logits = tmodel(torch.from_numpy(x)).numpy()
+        outs = fmodel.net.apply(variables,
+                                jnp.asarray(x.transpose(0, 2, 3, 1)),
+                                train=False, with_aux=True)
+        f_logits = np.asarray(outs['decode'], np.float32).transpose(
+            0, 3, 1, 2)
+        np.testing.assert_allclose(f_logits, t_logits, rtol=1e-4, atol=1e-5)
+        with torch.no_grad():
+            t_aux = tmodel.auxiliary_head(
+                tmodel.backbone(torch.from_numpy(x))).numpy()
+        f_aux = np.asarray(outs['aux'], np.float32).transpose(0, 3, 1, 2)
+        np.testing.assert_allclose(f_aux, t_aux, rtol=1e-4, atol=1e-5)
+
+    def test_step0_gradient_cosine(self, setup):
+        """Structural gradient check. Elementwise comparison is the wrong
+        gate for a BN-heavy CNN: BN scale-invariance makes pre-BN weight
+        grads near-perfect cancellations of large terms, so their fp32
+        values are noise at the ~1e-4 level (verified: torch's own f64
+        finite difference disagrees with torch autograd on those elements
+        by the same margin as flax does). Cosine similarity of the
+        gradient direction is noise-robust and catches every structural
+        bug (wrong layout, missing stop_gradient, wrong loss weight)."""
+        tmodel, fmodel, variables = setup
+        import copy
+        tmodel = copy.deepcopy(tmodel).train()
+        rs = np.random.RandomState(7)
+        img = rs.randn(2, 3, 64, 64).astype(np.float32)
+        gt = np.where(rs.rand(2, 64, 64) < 0.1, 255,
+                      rs.randint(0, 19, (2, 64, 64))).astype(np.int32)
+
+        loss = tmodel.loss(torch.from_numpy(img),
+                           torch.from_numpy(gt).long())
+        loss.backward()
+        tgrads = {k: p.grad.detach().numpy() for k, p in
+                  tmodel.named_parameters() if p.grad is not None}
+
+        import flax
+        from segdistill_tpu.convert.torch_loader import _translate_base
+        from segdistill_tpu.models.segmentors import parse_losses
+        ms = {k: v for k, v in variables.items() if k != 'params'}
+
+        def loss_fn(params):
+            losses, _, _ = fmodel.forward_train(
+                {'params': params, **ms},
+                jnp.asarray(img.transpose(0, 2, 3, 1)), jnp.asarray(gt),
+                rngs={'dropout': jax.random.PRNGKey(0)})
+            return parse_losses(losses)[0]
+
+        fval, grads = jax.value_and_grad(loss_fn)(variables['params'])
+        np.testing.assert_allclose(float(fval), float(loss.detach()),
+                                   rtol=1e-5)
+        flat = {'.'.join(k): np.asarray(v) for k, v in
+                flax.traverse_util.flatten_dict(grads).items()}
+        tv, fv = [], []
+        for tk, tg in tgrads.items():
+            comps = _translate_base(tk).split('.')
+            if tk.endswith('weight'):
+                cands = (['.'.join(comps[:-1]) + '.kernel']
+                         if tg.ndim >= 2 else
+                         ['.'.join(comps[:-1]) + '.scale',
+                          '.'.join(comps[:-1]) + '.bn.scale'])
+            else:
+                cands = ['.'.join(comps[:-1]) + '.bias',
+                         '.'.join(comps[:-1]) + '.bn.bias']
+            fk = next((c for c in cands if c in flat), None)
+            assert fk is not None, f'no flax grad found for {tk}'
+            fg = flat[fk]
+            if tg.ndim == 4:
+                fg = fg.transpose(3, 2, 0, 1)
+            elif tg.ndim == 2:
+                fg = fg.T
+            cos = np.dot(tg.ravel(), fg.ravel()) / (
+                np.linalg.norm(tg) * np.linalg.norm(fg) + 1e-30)
+            assert cos > 0.995, f'{tk}: grad cosine {cos}'
+            tv.append(tg.ravel())
+            fv.append(fg.ravel())
+        t, f = np.concatenate(tv), np.concatenate(fv)
+        g_cos = np.dot(t, f) / (np.linalg.norm(t) * np.linalg.norm(f))
+        assert g_cos > 0.999, f'global grad cosine {g_cos}'
+
+    @pytest.mark.slow
+    def test_train_trajectory(self, setup):
+        """Covers the aux-head 0.4-weighted loss sum and BN-in-train-mode
+        (SyncBN parity) through the jitted step. Tolerance is looser than
+        the Segformer trajectory: see test_step0_gradient_cosine — the
+        BN-cancellation fp32 noise floor walks the trajectories apart at
+        the ~0.5% level within a few steps (torch FD vs torch autograd
+        shows the same spread)."""
+        tmodel, fmodel, variables = setup
+        import copy
+        tmodel = copy.deepcopy(tmodel).train()
+
+        from segdistill_tpu.engine import (build_train_step,
+                                           create_train_state,
+                                           build_optimizer)
+        lr = 0.02
+        rs = np.random.RandomState(7)
+        batches = [(rs.randn(2, 3, 64, 64).astype(np.float32),
+                    np.where(rs.rand(2, 64, 64) < 0.1, 255,
+                             rs.randint(0, 19, (2, 64, 64))).astype(np.int32))
+                   for _ in range(6)]
+
+        opt = torch.optim.SGD(tmodel.parameters(), lr=lr)
+        t_losses = []
+        for img, gt in batches:
+            opt.zero_grad()
+            loss = tmodel.loss(torch.from_numpy(img),
+                               torch.from_numpy(gt).long())
+            loss.backward()
+            opt.step()
+            t_losses.append(float(loss.detach()))
+
+        tx = build_optimizer(dict(type='SGD', lr=lr, momentum=0.0,
+                                  weight_decay=0.0), variables['params'])
+        state = create_train_state(jax.random.PRNGKey(0), variables, tx)
+        train_step = build_train_step(fmodel, tx, donate=False)
+        f_losses = []
+        for img, gt in batches:
+            state, log_vars = train_step(
+                state, {}, jnp.asarray(img.transpose(0, 2, 3, 1)),
+                jnp.asarray(gt))
+            f_losses.append(float(log_vars['loss']))
+
+        np.testing.assert_allclose(f_losses, t_losses, rtol=1e-2,
+                                   err_msg=f'flax {f_losses} vs torch '
+                                           f'{t_losses}')
