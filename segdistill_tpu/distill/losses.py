@@ -156,13 +156,15 @@ class KLDLoss:
                                       self.tau)
 
     def __call__(self, x_student, x_teacher, gt, step, rng=None):
-        x_student = x_student.astype(jnp.float32)
-        x_teacher = x_teacher.astype(jnp.float32)
         alpha = self.alpha_at(step)
 
+        # the fused kernels take native-dtype (bf16) maps and upcast
+        # per-tile in-register — identical values, half the HBM traffic
         fused = self._try_fused(x_student, x_teacher, gt, step, rng, alpha)
         if fused is not None:
             return fused
+        x_student = x_student.astype(jnp.float32)
+        x_teacher = x_teacher.astype(jnp.float32)
 
         if self.resize_config:
             gt_hw = gt.shape[-2:] if gt.ndim == 4 else gt.shape[1:3]

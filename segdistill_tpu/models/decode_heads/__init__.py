@@ -13,11 +13,14 @@ from .lraspp_head import LRASPPHead
 from .ann_head import ANNHead
 from .apc_head import APCHead, DMHead
 from .da_head import DAHead, CCHead, EMAHead, EncHead
+from .psa_head import PSAHead
+from .point_head import PointHead
 
 __all__ = [
     'BaseDecodeHead', 'SegFormerHead', 'FCNHead', 'PSPHead', 'UPerHead',
     'ASPPHead', 'DepthwiseSeparableASPPHead', 'FPNHead', 'NLHead', 'GCHead',
     'DNLHead', 'OCRHead', 'BaseCascadeDecodeHead',
     'DepthwiseSeparableFCNHead', 'LRASPPHead', 'ANNHead', 'APCHead',
-    'DMHead', 'DAHead', 'CCHead', 'EMAHead', 'EncHead'
+    'DMHead', 'DAHead', 'CCHead', 'EMAHead', 'EncHead', 'PSAHead',
+    'PointHead'
 ]

@@ -213,8 +213,10 @@ def _prep(xs, group_size):
 
 def _fused_fwd(xs, xt, out_hw, group_size, tau, interpret):
     b = xs.shape[0]
-    xs_p, k = _prep(xs.astype(jnp.float32), group_size)
-    xt_p, _ = _prep(xt.astype(jnp.float32), group_size)
+    # native-dtype inputs (bf16 halves HBM traffic); per-tile fp32 upcast
+    # inside the kernel keeps values bit-identical to upcast-then-load
+    xs_p, k = _prep(xs, group_size)
+    xt_p, _ = _prep(xt, group_size)
     g, h, w = xs_p.shape[1:]
     rh, rw = out_hw[0] // h, out_hw[1] // w
     taps_h = tuple(_phase_taps(rh))
@@ -253,8 +255,8 @@ def _fused_bwd(out_hw, group_size, tau, interpret, residuals, gbar):
     xs, xt, stats = residuals
     b = xs.shape[0]
     c = xs.shape[1]
-    xs_p, k = _prep(xs.astype(jnp.float32), group_size)
-    xt_p, _ = _prep(xt.astype(jnp.float32), group_size)
+    xs_p, k = _prep(xs, group_size)
+    xt_p, _ = _prep(xt, group_size)
     g, h, w = xs_p.shape[1:]
     rh, rw = out_hw[0] // h, out_hw[1] // w
     taps_h = tuple(_phase_taps(rh))

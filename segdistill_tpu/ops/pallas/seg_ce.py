@@ -190,7 +190,9 @@ def fused_seg_ce(logits, labels, out_hw, num_classes, ignore_index=255,
 
 
 def _fwd(logits, labels, out_hw, num_classes, ignore_index, interpret):
-    z = _pad_channels(logits.astype(jnp.float32), _CTILE)
+    # keep the input dtype (bf16 halves kernel HBM traffic); every tile is
+    # upcast to fp32 in-register inside the kernel, so values are identical
+    z = _pad_channels(logits, _CTILE)
     b, c, h, w = z.shape
     n_tiles = c // _CTILE
     rh, rw = out_hw[0] // h, out_hw[1] // w
@@ -228,7 +230,9 @@ def _fwd(logits, labels, out_hw, num_classes, ignore_index, interpret):
 def _bwd(out_hw, num_classes, ignore_index, interpret, residuals, gbar):
     logits, labels = residuals
     g_ce = gbar[0]  # cotangent of ce_sum (correct count: no gradient)
-    z = _pad_channels(logits.astype(jnp.float32), _CTILE)
+    # keep the input dtype (bf16 halves kernel HBM traffic); every tile is
+    # upcast to fp32 in-register inside the kernel, so values are identical
+    z = _pad_channels(logits, _CTILE)
     b, c, h, w = z.shape
     n_tiles = c // _CTILE
     rh, rw = out_hw[0] // h, out_hw[1] // w

@@ -91,6 +91,72 @@ def pspnet_r50(num_classes=150, depth=50, pretrained=None):
     return cfg
 
 
+def psanet_r50(num_classes=150, depth=50, pretrained=None):
+    """PSANet ResNetV1c-d8 (ref configs/_base_/models/psanet_r50-d8.py).
+    mask_size (97, 97) > the 64x64 stride-8 feature map, so at 512^2 every
+    position attends everywhere, exactly like the reference default."""
+    cfg = dict(
+        type='EncoderDecoder',
+        backbone=dict(
+            type='ResNetV1c', depth=depth, num_stages=4,
+            out_indices=(0, 1, 2, 3), dilations=(1, 1, 2, 4),
+            strides=(1, 2, 1, 1), norm_cfg=dict(NORM_CFG), norm_eval=False,
+            style='pytorch', contract_dilation=True),
+        decode_head=dict(
+            type='PSAHead', in_channels=2048, in_index=3, channels=512,
+            mask_size=(97, 97), psa_type='bi-direction', compact=False,
+            shrink_factor=2, normalization_factor=1.0, psa_softmax=True,
+            dropout_ratio=0.1, num_classes=num_classes,
+            norm_cfg=dict(NORM_CFG), align_corners=False,
+            loss_decode=dict(CE_LOSS)),
+        auxiliary_head=dict(
+            type='FCNHead', in_channels=1024, in_index=2, channels=256,
+            num_convs=1, concat_input=False, dropout_ratio=0.1,
+            num_classes=num_classes, norm_cfg=dict(NORM_CFG),
+            align_corners=False,
+            loss_decode=dict(CE_LOSS, loss_weight=0.4)))
+    if pretrained:
+        cfg['pretrained'] = pretrained
+    return cfg
+
+
+def pointrend_r50(num_classes=150, pretrained=None):
+    """PointRend (ref configs/point_rend/ + _base_/models/pointrend_r50.py):
+    ResNetV1c + FPN neck, FPNHead coarse stage + PointHead refinement.
+    The reference's train_cfg/test_cfg point-sampling keys are carried as
+    PointHead attributes (static shapes under jit)."""
+    cfg = dict(
+        type='CascadeEncoderDecoder',
+        num_stages=2,
+        backbone=dict(
+            type='ResNetV1c', depth=50, num_stages=4,
+            out_indices=(0, 1, 2, 3), dilations=(1, 1, 1, 1),
+            strides=(1, 2, 2, 2), norm_cfg=dict(NORM_CFG), norm_eval=False,
+            style='pytorch', contract_dilation=True),
+        neck=dict(type='FPN', in_channels=[256, 512, 1024, 2048],
+                  out_channels=256, num_outs=4),
+        decode_head=[
+            dict(type='FPNHead', in_channels=[256, 256, 256, 256],
+                 in_index=[0, 1, 2, 3], feature_strides=[4, 8, 16, 32],
+                 channels=128, dropout_ratio=-1, num_classes=num_classes,
+                 norm_cfg=dict(NORM_CFG), align_corners=False,
+                 loss_decode=dict(CE_LOSS)),
+            dict(type='PointHead', in_channels=[256], in_index=[0],
+                 channels=256, num_fcs=3, coarse_pred_each_layer=True,
+                 dropout_ratio=-1, num_classes=num_classes,
+                 align_corners=False, loss_decode=dict(CE_LOSS),
+                 num_points=2048, oversample_ratio=3,
+                 importance_sample_ratio=0.75, subdivision_steps=2,
+                 subdivision_num_points=8196, scale_factor=2)],
+        train_cfg=dict(num_points=2048, oversample_ratio=3,
+                       importance_sample_ratio=0.75),
+        test_cfg=dict(mode='whole', subdivision_steps=2,
+                      subdivision_num_points=8196, scale_factor=2))
+    if pretrained:
+        cfg['pretrained'] = pretrained
+    return cfg
+
+
 TEACHER_B3_CKPT = './pretrained/segformer.b3.512x512.ade.160k.pth'
 
 
