@@ -65,9 +65,9 @@ class DistillationLoss:
             self.entries.append(dict(entry, criterion=criterion))
 
     def __call__(self, student_features, teacher_features, gt_semantic_seg,
-                 step, rng=None):
+                 step, rng=None, adapters=None):
         losses = {}
-        for entry in self.entries:
+        for i, entry in enumerate(self.entries):
             s_layer, t_layer = entry['student_layer'], entry['teacher_layer']
             criterion = entry['criterion']
             if isinstance(s_layer, list):
@@ -79,8 +79,22 @@ class DistillationLoss:
                     '(losses.py:239-927); no registered loss uses them')
             x_s = _lookup(student_features, s_layer, 'student')
             x_t = _lookup(teacher_features, t_layer, 'teacher')
-            loss = criterion(convert_tap(s_layer, x_s),
-                             convert_tap(t_layer, x_t),
+            x_s = convert_tap(s_layer, x_s)
+            if adapters and f'adapter_{i}' in adapters:
+                # trainable 1x1 channel adapter for cross-width
+                # student/teacher pairs (ref 'channel_nums' contract,
+                # opts.py:25-27 + Conv1d :115-125). Conv feature taps are
+                # NCHW (channel axis 1); token taps (B, N, C) keep
+                # channels last — the ref Conv1d's ``dim`` argument.
+                p = adapters[f'adapter_{i}']
+                k = p['kernel'].astype(x_s.dtype)
+                b = p['bias'].astype(x_s.dtype)
+                if x_s.ndim == 4:
+                    x_s = jnp.einsum('bchw,cd->bdhw', x_s, k) \
+                        + b[None, :, None, None]
+                else:
+                    x_s = x_s @ k + b
+            loss = criterion(x_s, convert_tap(t_layer, x_t),
                              gt_semantic_seg, step, rng=rng)
             loss_cfg = entry.get('loss_config') or {}
             loss_info = loss_cfg.get('transform_config', 'other') \

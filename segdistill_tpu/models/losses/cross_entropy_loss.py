@@ -69,19 +69,45 @@ def binary_cross_entropy(pred, label, weight=None, reduction='mean',
                               avg_factor=avg_factor)
 
 
+def mask_cross_entropy(pred, target, label, reduction='mean',
+                       avg_factor=None, class_weight=None,
+                       ignore_index=None):
+    """Per-ROI masked BCE (ref cross_entropy_loss.py:100-136): ``pred``
+    (N, C, *mask), ``label`` (N,) picks the class channel of each ROI's
+    mask prediction; BCE-with-logits against ``target`` (N, *mask),
+    mean-reduced, returned with a leading singleton dim like the
+    reference's ``[None]``."""
+    assert ignore_index is None, 'BCE loss does not support ignore_index'
+    assert reduction == 'mean' and avg_factor is None
+    pred = pred.astype(jnp.float32)
+    pred_slice = jnp.take_along_axis(
+        pred, label.reshape(label.shape[0],
+                            *([1] * (pred.ndim - 1))).astype(jnp.int32),
+        axis=1)[:, 0]
+    target = target.astype(jnp.float32)
+    loss = jnp.maximum(pred_slice, 0) - pred_slice * target + jnp.log1p(
+        jnp.exp(-jnp.abs(pred_slice)))
+    if class_weight is not None:
+        loss = loss * jnp.asarray(class_weight, jnp.float32)
+    return jnp.mean(loss)[None]
+
+
 @LOSSES.register_module()
 class CrossEntropyLoss:
 
     def __init__(self, use_sigmoid=False, use_mask=False, reduction='mean',
                  class_weight=None, loss_weight=1.0):
-        if use_mask:
-            raise NotImplementedError(
-                'mask_cross_entropy is instance-seg only; not in KD scope')
+        assert not (use_sigmoid and use_mask)
         self.use_sigmoid = use_sigmoid
         self.reduction = reduction
         self.loss_weight = loss_weight
         self.class_weight = class_weight
-        self.criterion = binary_cross_entropy if use_sigmoid else cross_entropy
+        if use_mask:
+            self.criterion = mask_cross_entropy
+        elif use_sigmoid:
+            self.criterion = binary_cross_entropy
+        else:
+            self.criterion = cross_entropy
 
     def __call__(self, cls_score, label, weight=None, avg_factor=None,
                  reduction_override=None, **kwargs):

@@ -53,9 +53,31 @@ class SDModule(BaseSegmentor):
 
     # ------------------------------------------------------------------ init
     def init_variables(self, rng, input_shape=(1, 512, 512, 3)):
-        rng_s, rng_t = jax.random.split(rng)
+        rng_s, rng_t, rng_a = jax.random.split(rng, 3)
+        student = self.student.init_variables(rng_s, input_shape)
+        adapters = {}
+        for i, entry in enumerate(self.distillation):
+            nums = entry.get('channel_nums')
+            if nums is None:
+                continue
+            # trainable 1x1 channel adapter (ref 'channel_nums' contract,
+            # opts.py:25-27): lives in the student params so the optimizer
+            # trains it alongside the student
+            c_s, c_t = nums
+            rng_a, k = jax.random.split(rng_a)
+            import jax.numpy as jnp
+            scale = (1.0 / c_s) ** 0.5
+            adapters[f'adapter_{i}'] = {
+                'kernel': jax.random.uniform(k, (c_s, c_t), jnp.float32,
+                                             -scale, scale),
+                'bias': jnp.zeros((c_t,), jnp.float32),
+            }
+        if adapters:
+            student = dict(student)
+            student['params'] = dict(student['params'],
+                                     distill_adapters=adapters)
         return {
-            'student': self.student.init_variables(rng_s, input_shape),
+            'student': student,
             'teacher': self.teacher.init_variables(rng_t, input_shape),
         }
 
@@ -69,6 +91,11 @@ class SDModule(BaseSegmentor):
         loss dict under the reference's key layout.
         """
         capture = bool(self.distillation)
+        adapters = student_vars.get('params', {}).get('distill_adapters')
+        if adapters is not None:
+            params = {k: v for k, v in student_vars['params'].items()
+                      if k != 'distill_adapters'}
+            student_vars = {**student_vars, 'params': params}
         losses, s_feats, new_state = self.student.forward_train(
             student_vars, img, gt, rngs=rngs, capture_feats=capture)
         if capture:
@@ -77,7 +104,8 @@ class SDModule(BaseSegmentor):
             t_feats = self.teacher.forward_feats(
                 jax.lax.stop_gradient(teacher_vars), img, train=False)
             d_losses = self.distillation_loss(
-                s_feats, t_feats, gt, step, rng=shuffle_rng)
+                s_feats, t_feats, gt, step, rng=shuffle_rng,
+                adapters=adapters)
             losses.update(d_losses)
         return losses, new_state
 

@@ -179,6 +179,8 @@ def can_use_fused(shape, out_hw, group_size, align_corners=False):
     align_corners False, VMEM budget."""
     if align_corners:
         return False
+    if len(shape) != 4:  # token taps (B, N, C) take the unfused path
+        return False
     b, c, h, w = shape
     H, W = out_hw
     if h == 0 or w == 0 or H % h or W % w:

@@ -133,6 +133,8 @@ def _bwd_kernel(taps_h, taps_w, n_tiles, tau, scale_ref, xs_ref, xt_ref,
 def can_use_fused_pixel(shape, out_hw, align_corners=False):
     if align_corners:
         return False
+    if len(shape) != 4:  # token taps (B, N, C) take the unfused path
+        return False
     b, c, h, w = shape
     H, W = out_hw
     if h == 0 or w == 0 or H % h or W % w:

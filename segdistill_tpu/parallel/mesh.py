@@ -50,7 +50,23 @@ def shard_batch(batch, mesh, axis_name='data'):
 
 
 def replicate(tree, mesh):
-    return jax.device_put(tree, replicated_sharding(mesh))
+    sharding = replicated_sharding(mesh)
+    if jax.process_count() == 1:
+        return jax.device_put(tree, sharding)
+    # multi-host: every process holds the identical full value; build the
+    # global replicated array from the process-local copy. Typed PRNG keys
+    # are bitcast through their uint32 key data.
+    def rep(x):
+        if hasattr(x, 'dtype') and jax.dtypes.issubdtype(
+                x.dtype, jax.dtypes.prng_key):
+            data = jax.make_array_from_process_local_data(
+                sharding, np.asarray(jax.random.key_data(x)))
+            return jax.random.wrap_key_data(data,
+                                            impl=jax.random.key_impl(x))
+        return jax.make_array_from_process_local_data(sharding,
+                                                      np.asarray(x))
+
+    return jax.tree.map(rep, tree)
 
 
 def unreplicate(tree):

@@ -1,0 +1,162 @@
+"""Round-2 parity crumbs (VERDICT item 8): mask_cross_entropy, Lovasz
+binary hinge, the Conv1d channel adapter, and the coco_stuff10k id map."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from segdistill_tpu.models.losses.cross_entropy_loss import (
+    CrossEntropyLoss, mask_cross_entropy)
+from segdistill_tpu.models.losses.lovasz_loss import (LovaszLoss,
+                                                      lovasz_hinge)
+
+
+def test_mask_cross_entropy_vs_torch():
+    torch = pytest.importorskip('torch')
+    import torch.nn.functional as F
+    rs = np.random.RandomState(0)
+    pred = rs.randn(5, 7, 6, 6).astype(np.float32)   # (N, C, *mask)
+    target = (rs.rand(5, 6, 6) > 0.5).astype(np.float32)
+    label = rs.randint(0, 7, (5,)).astype(np.int64)
+
+    got = np.asarray(mask_cross_entropy(jnp.asarray(pred),
+                                        jnp.asarray(target),
+                                        jnp.asarray(label)))
+    inds = torch.arange(5)
+    pred_slice = torch.from_numpy(pred)[inds, torch.from_numpy(label)]
+    want = F.binary_cross_entropy_with_logits(
+        pred_slice, torch.from_numpy(target), reduction='mean')[None]
+    np.testing.assert_allclose(got, want.numpy(), rtol=1e-5)
+    # registry dispatch (ref cross_entropy_loss.py use_mask)
+    loss = CrossEntropyLoss(use_mask=True)
+    got2 = np.asarray(loss(jnp.asarray(pred), jnp.asarray(target),
+                           jnp.asarray(label)))
+    np.testing.assert_allclose(got2, got, rtol=1e-6)
+
+
+def _naive_lovasz_hinge(logits, labels, ignore=255):
+    """Reference semantics with boolean filtering
+    (ref lovasz_loss.py:58-79 + lovasz_grad :20-37)."""
+    logits = logits.reshape(-1)
+    labels = labels.reshape(-1)
+    valid = labels != ignore
+    logits, labels = logits[valid], labels[valid].astype(np.float64)
+    if len(labels) == 0:
+        return 0.0
+    signs = 2.0 * labels - 1.0
+    errors = 1.0 - logits * signs
+    order = np.argsort(-errors, kind='stable')
+    errors_sorted = errors[order]
+    gt_sorted = labels[order]
+    gts = gt_sorted.sum()
+    intersection = gts - np.cumsum(gt_sorted)
+    union = gts + np.cumsum(1 - gt_sorted)
+    jaccard = 1.0 - intersection / union
+    jaccard[1:] = jaccard[1:] - jaccard[:-1]
+    return float(np.dot(np.maximum(errors_sorted, 0), jaccard))
+
+
+@pytest.mark.parametrize('per_image', [False, True])
+def test_lovasz_hinge_matches_naive(per_image):
+    rs = np.random.RandomState(1)
+    logits = rs.randn(2, 8, 8).astype(np.float32)
+    labels = rs.randint(0, 2, (2, 8, 8)).astype(np.int32)
+    labels[0, :2] = 255  # ignored region
+    got = float(lovasz_hinge(jnp.asarray(logits), jnp.asarray(labels),
+                             per_image=per_image))
+    if per_image:
+        want = np.mean([_naive_lovasz_hinge(logits[i], labels[i])
+                        for i in range(2)])
+    else:
+        want = _naive_lovasz_hinge(logits, labels)
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_lovasz_binary_class_dispatch():
+    rs = np.random.RandomState(2)
+    logits = rs.randn(2, 8, 8, 1).astype(np.float32)  # NHWC, C=1
+    labels = rs.randint(0, 2, (2, 8, 8)).astype(np.int32)
+    loss = LovaszLoss(loss_type='binary', per_image=True)
+    v = float(loss(jnp.asarray(logits), jnp.asarray(labels)))
+    assert np.isfinite(v) and v >= 0
+
+
+def test_lovasz_hinge_all_void_is_zero():
+    logits = jnp.asarray(np.random.RandomState(3).randn(1, 4, 4),
+                         jnp.float32)
+    labels = jnp.full((1, 4, 4), 255, jnp.int32)
+    assert float(lovasz_hinge(logits, labels)) == pytest.approx(0.0)
+
+
+def test_channel_adapter_sdmodule():
+    """channel_nums entry (ref opts.py:25-27): trainable 1x1 adapter maps
+    student channels onto teacher channels; lives in student params."""
+    from segdistill_tpu.models import build_segmentor
+    from segdistill_tpu.models.segmentors import parse_losses
+
+    def enc(depth):
+        return dict(type='EncoderDecoder',
+                    backbone=dict(type='ResNet', depth=depth, num_stages=4,
+                                  out_indices=(0, 1, 2, 3),
+                                  norm_cfg=dict(type='BN')),
+                    decode_head=dict(
+                        type='FCNHead', in_channels=512, in_index=3,
+                        channels=16, num_convs=1, concat_input=False,
+                        dropout_ratio=0.0, num_classes=11,
+                        norm_cfg=dict(type='BN'), align_corners=False))
+
+    model = build_segmentor(dict(
+        type='SDModule',
+        cfg_s=enc(18),
+        cfg_t=enc(18),
+        distillation=[{
+            # cross-stage conv taps: student stage-3 256ch vs teacher
+            # stage-4 512ch -> the adapter maps 256 -> 512
+            'student_layer': 'backbone.layer3.1',
+            'teacher_layer': 'backbone.layer4.1',
+            'loss_name': 'CGDLoss',
+            'loss_config': {'group_size': 8, 'alpha': 1, 'tau': 1},
+            'channel_nums': (256, 512),
+        }]))
+    v = model.init_variables(jax.random.key(0), (1, 32, 32, 3))
+    assert 'distill_adapters' in v['student']['params']
+    assert v['student']['params']['distill_adapters']['adapter_0'][
+        'kernel'].shape == (256, 512)
+
+    img = jnp.asarray(np.random.RandomState(0).randn(1, 32, 32, 3),
+                      jnp.float32)
+    gt = jnp.zeros((1, 32, 32), jnp.int32)
+
+    def loss_fn(params):
+        sv = {'params': params, **{k: x for k, x in v['student'].items()
+                                   if k != 'params'}}
+        losses, _ = model.forward_train(
+            sv, v['teacher'], img, gt, 1,
+            rngs={'dropout': jax.random.key(1)},
+            shuffle_rng=jax.random.key(2))
+        return parse_losses(losses)[0]
+
+    total, grads = jax.value_and_grad(loss_fn)(v['student']['params'])
+    assert np.isfinite(float(total))
+    g = grads['distill_adapters']['adapter_0']['kernel']
+    assert float(jnp.abs(g).sum()) > 0  # the adapter is trained
+
+
+def test_coco_stuff10k_id_map():
+    import sys
+    import os.path as osp
+    sys.path.insert(0, osp.join(osp.dirname(osp.dirname(
+        osp.abspath(__file__))), 'tools', 'convert_datasets'))
+    from coco_stuff10k import clsID_to_trID
+    # spot-check against the reference's explicit dict (:12-187)
+    assert clsID_to_trID[0] == 0
+    assert clsID_to_trID[11] == 11
+    assert clsID_to_trID[13] == 12
+    assert clsID_to_trID[25] == 24
+    assert clsID_to_trID[27] == 25
+    assert clsID_to_trID[84] == 74
+    assert clsID_to_trID[92] == 81
+    assert clsID_to_trID[182] == 171
+    assert 12 not in clsID_to_trID and 91 not in clsID_to_trID
+    assert len(clsID_to_trID) == 172
