@@ -18,37 +18,6 @@ from ..utils import NormLayer, trunc_normal_init
 from .decode_head import BaseDecodeHead
 
 
-class _SplitFuse(nn.Module):
-    """conv1x1(concat(parts)) + BN + ReLU without materializing the concat.
-
-    Param layout is IDENTICAL to the mmcv ConvModule the reference uses
-    (``linear_fuse.conv.kernel`` of shape (1, 1, 4E, E) + ``linear_fuse.bn``)
-    so checkpoints convert unchanged — but the GEMM is computed as a sum of
-    per-part partial GEMMs over kernel slices, accumulated in fp32. On the
-    B3 teacher head at 512^2 this removes an (8,128,128,3072) concat, its
-    pad fusion and two ~800 MB layout copies (profiled ~5 ms/step of pure
-    HBM traffic).
-    """
-    features: int
-    norm_cfg: dict = None
-
-    @nn.compact
-    def __call__(self, parts, train=False):
-        total_in = sum(p.shape[-1] for p in parts)
-        kernel = _Kernel(self.features, total_in, name='conv')()
-        acc = None
-        off = 0
-        for p in parts:
-            w = kernel[off:off + p.shape[-1]].astype(p.dtype)
-            part = jnp.einsum('bhwc,cd->bhwd', p, w,
-                              preferred_element_type=jnp.float32)
-            acc = part if acc is None else acc + part
-            off += p.shape[-1]
-        h = acc.astype(parts[0].dtype)
-        h = NormLayer(self.norm_cfg, name='bn')(h, train=train)
-        return nn.relu(h)
-
-
 class _Kernel(nn.Module):
     """Holds the (1,1,C_in,C_out) conv kernel under the torch-compatible
     param path ``<parent>/conv/kernel``; returns it as (C_in, C_out)."""
@@ -60,6 +29,56 @@ class _Kernel(nn.Module):
         kernel = self.param('kernel', nn.initializers.lecun_normal(),
                             (1, 1, self.in_features, self.features))
         return kernel[0, 0]
+
+
+class _DenseParams(nn.Module):
+    """Declares Dense-layout params (kernel, bias) without applying them —
+    param paths match nn.Dense exactly, so checkpoints convert unchanged."""
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param('kernel', trunc_normal_init(),
+                            (self.in_features, self.features))
+        bias = self.param('bias', nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
+class _ComposedFuse(nn.Module):
+    """embed + resize-to-1/4 + concat + 1x1 fuse conv + BN + ReLU
+    (ref segformer_head.py:84-95), restructured with exact math:
+
+    the per-stage embed Dense and this conv's per-stage kernel slice are
+    pointwise channel mixes, and bilinear resize is linear per channel, so
+    all three commute. Each stage runs ONE composed GEMM
+    ``c_x @ (E_x @ W_x) + b_x @ W_x`` at its NATIVE resolution, then
+    upsamples and sums. On the B3 teacher head this cuts the fuse GEMMs
+    from ~620 to ~206 GFLOP/step and never materializes the four pre-fuse
+    full-res maps or their concat. Param layout is the mmcv ConvModule's
+    (``linear_fuse.conv.kernel`` (1,1,4E,E) + ``linear_fuse.bn``), so
+    checkpoints convert unchanged.
+    """
+    features: int
+    norm_cfg: dict = None
+
+    @nn.compact
+    def __call__(self, parts, embeds, train=False):
+        E_total = self.features
+        kernel = _Kernel(E_total, len(parts) * E_total, name='conv')()
+        out_hw = parts[-1].shape[1:3]
+        acc = None
+        for idx, (c, (E, b)) in enumerate(zip(parts, embeds)):
+            W = kernel[idx * E_total:(idx + 1) * E_total]
+            K = E.astype(jnp.float32) @ W.astype(jnp.float32)
+            cb = b.astype(jnp.float32) @ W.astype(jnp.float32)
+            part = c @ K.astype(c.dtype) + cb.astype(c.dtype)
+            if c.shape[1:3] != out_hw:
+                part = resize(part, size=out_hw, mode='bilinear',
+                              align_corners=False)
+            acc = part if acc is None else acc + part
+        h = NormLayer(self.norm_cfg, name='bn')(acc, train=train)
+        return nn.relu(h)
 
 
 @HEADS.register_module()
@@ -82,25 +101,27 @@ class SegFormerHead(BaseDecodeHead):
         n = c1.shape[0]
         embed_dim = (self.decoder_params or {}).get('embed_dim', 256)
 
-        def linear_embed(c, name):
-            B, H, W, C = c.shape
-            out = nn.Dense(embed_dim, dtype=c.dtype,
-                           kernel_init=trunc_normal_init(),
-                           name=name)(c.reshape(B, H * W, C))
-            return out.reshape(B, H, W, embed_dim)
-
-        _c4 = resize(linear_embed(c4, 'linear_c4'), size=c1.shape[1:3],
-                     mode='bilinear', align_corners=False)
-        _c3 = resize(linear_embed(c3, 'linear_c3'), size=c1.shape[1:3],
-                     mode='bilinear', align_corners=False)
-        _c2 = resize(linear_embed(c2, 'linear_c2'), size=c1.shape[1:3],
-                     mode='bilinear', align_corners=False)
-        _c1 = linear_embed(c1, 'linear_c1')
-
-        _c = _SplitFuse(embed_dim,
-                        norm_cfg=self.norm_cfg or dict(type='SyncBN'),
-                        name='linear_fuse')([_c4, _c3, _c2, _c1],
-                                            train=train)
+        # Reference computation (segformer_head.py:61-97):
+        #   fuse_conv(concat_x[resize_1/4(embed_x(c_x))]).
+        # TPU-first restructuring, mathematically identical: the per-stage
+        # embed Dense and the stage's slice of the 1x1 fuse kernel are both
+        # pointwise channel mixes, and bilinear resize is linear per
+        # channel — so they all commute. Fold embed_x and fuse-slice W_x
+        # into ONE composed GEMM applied at the stage's NATIVE resolution,
+        # then upsample and sum:
+        #   sum_x resize(c_x @ (E_x @ W_x) + b_x @ W_x).
+        # On the B3 teacher head this cuts the fuse GEMMs from ~620 to
+        # ~206 GFLOP/step (stages 2-4 run at 1/64..1/4 of the positions)
+        # and skips materializing the four pre-fuse 768-channel maps.
+        # Param layout is untouched (linear_cX Dense + linear_fuse
+        # ConvModule) so checkpoints convert unchanged.
+        embeds = [_DenseParams(embed_dim, c.shape[-1],
+                               name=f'linear_c{i}')()
+                  for i, c in ((4, c4), (3, c3), (2, c2), (1, c1))]
+        _c = _ComposedFuse(embed_dim,
+                           norm_cfg=self.norm_cfg or dict(type='SyncBN'),
+                           name='linear_fuse')([c4, c3, c2, c1], embeds,
+                                               train=train)
 
         x = nn.Dropout(self.dropout_ratio, broadcast_dims=(1, 2),
                        name='dropout')(_c, deterministic=not train)

@@ -171,7 +171,7 @@ def _bwd_kernel(taps_h, taps_w, tau, scale_ref, xs_ref, xt_ref, stats_ref,
                 acc = _unshift_add(acc, fh * gw, dh + 1, 1)
             else:
                 acc = acc + gw
-    dxs_ref[0] = acc
+    dxs_ref[0] = acc.astype(dxs_ref.dtype)
 
 
 def can_use_fused(shape, out_hw, group_size, align_corners=False):
@@ -282,7 +282,7 @@ def _fused_bwd(out_hw, group_size, tau, interpret, residuals, gbar):
         ],
         out_specs=pl.BlockSpec((1, g, h, w), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b * k, g, h, w), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b * k, g, h, w), xs_p.dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,

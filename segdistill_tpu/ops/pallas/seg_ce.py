@@ -63,36 +63,32 @@ def _fwd_kernel(taps_h, taps_w, n_tiles, num_classes, ignore_index,
             valid = (y != ignore_index) & (y >= 0) & (y < num_classes)
             y_safe = jnp.where(valid, y, 0)
 
-            # pass 1 over channel tiles: per-pixel max / argmax / z[y]
-            # (fori_loop, not unrolled: 16 phases x n_tiles x 2 passes
-            # unrolled made Mosaic compile for >10 minutes)
+            # ONE pass over channel tiles with online softmax: running
+            # (max, rescaled exp-sum) + argmax + z[y]. (fori_loop, not
+            # unrolled: 16 phases x n_tiles unrolled made Mosaic compile
+            # for >10 minutes.)
             def pass1(t, carry):
-                m, best, z_y = carry
+                m, se, best, z_y = carry
                 zt = z_ref[0, pl.ds(t * ct, ct)].astype(jnp.float32)
                 plane = _lerp_axis(_lerp_axis(zt, dh, fh, 1), dw, fw, 2)
                 tmax = jnp.max(plane, axis=0)
                 targ = jnp.argmax(plane, axis=0).astype(jnp.int32) + t * ct
                 best = jnp.where(tmax > m, targ, best)
-                m = jnp.maximum(m, tmax)
+                m_new = jnp.maximum(m, tmax)
+                se = se * jnp.exp(m - m_new) + jnp.sum(
+                    jnp.exp(plane - m_new[None]), axis=0)
                 cls_idx = jax.lax.broadcasted_iota(
                     jnp.int32, plane.shape, 0) + t * ct
                 onehot = (cls_idx == y_safe[None]).astype(jnp.float32)
                 z_y = z_y + jnp.sum(plane * onehot, axis=0)
-                return m, best, z_y
+                return m_new, se, best, z_y
 
-            m, best, z_y = jax.lax.fori_loop(
+            m, se, best, z_y = jax.lax.fori_loop(
                 0, n_tiles, pass1,
                 (jnp.full(y.shape, -jnp.inf, jnp.float32),
+                 jnp.zeros(y.shape, jnp.float32),
                  jnp.zeros(y.shape, jnp.int32),
                  jnp.zeros(y.shape, jnp.float32)))
-
-            def pass2(t, se):
-                zt = z_ref[0, pl.ds(t * ct, ct)].astype(jnp.float32)
-                plane = _lerp_axis(_lerp_axis(zt, dh, fh, 1), dw, fw, 2)
-                return se + jnp.sum(jnp.exp(plane - m[None]), axis=0)
-
-            se = jax.lax.fori_loop(0, n_tiles, pass2,
-                                   jnp.zeros(y.shape, jnp.float32))
 
             lse = m + jnp.log(se)
             ce_sum += jnp.sum(jnp.where(valid, lse - z_y, 0.0))
@@ -103,11 +99,13 @@ def _fwd_kernel(taps_h, taps_w, n_tiles, num_classes, ignore_index,
 
 
 def _bwd_kernel(taps_h, taps_w, n_tiles, num_classes, ignore_index,
-                scale_ref, z_ref, y_ref, dz_ref):
+                scale_ref, z_ref, y_ref, dz_ref, acc_ref):
     ct = _CTILE
     scale = scale_ref[0, 0]
-    # zero-init accumulator output, then add per phase/tile
-    dz_ref[0] = jnp.zeros_like(dz_ref[0])
+    # fp32 VMEM scratch accumulates across phases/tiles; the output block
+    # is written once in the input dtype (bf16 halves the HBM write and
+    # drops the downstream convert pass)
+    acc_ref[...] = jnp.zeros_like(acc_ref[...])
     pi = 0
     for dh, fh in taps_h:
         for dw, fw in taps_w:
@@ -116,21 +114,20 @@ def _bwd_kernel(taps_h, taps_w, n_tiles, num_classes, ignore_index,
             y_safe = jnp.where(valid, y, 0)
             vs = valid.astype(jnp.float32) * scale
 
-            def maxloop(t, m):
+            # online softmax: one stats pass instead of max + exp-sum
+            def statloop(t, carry):
+                m, se = carry
                 zt = z_ref[0, pl.ds(t * ct, ct)].astype(jnp.float32)
                 plane = _lerp_axis(_lerp_axis(zt, dh, fh, 1), dw, fw, 2)
-                return jnp.maximum(m, jnp.max(plane, axis=0))
+                m_new = jnp.maximum(m, jnp.max(plane, axis=0))
+                se = se * jnp.exp(m - m_new) + jnp.sum(
+                    jnp.exp(plane - m_new[None]), axis=0)
+                return m_new, se
 
-            m = jax.lax.fori_loop(0, n_tiles, maxloop,
-                                  jnp.full(y.shape, -jnp.inf, jnp.float32))
-
-            def seloop(t, se):
-                zt = z_ref[0, pl.ds(t * ct, ct)].astype(jnp.float32)
-                plane = _lerp_axis(_lerp_axis(zt, dh, fh, 1), dw, fw, 2)
-                return se + jnp.sum(jnp.exp(plane - m[None]), axis=0)
-
-            se = jax.lax.fori_loop(0, n_tiles, seloop,
-                                   jnp.zeros(y.shape, jnp.float32))
+            m, se = jax.lax.fori_loop(
+                0, n_tiles, statloop,
+                (jnp.full(y.shape, -jnp.inf, jnp.float32),
+                 jnp.zeros(y.shape, jnp.float32)))
             inv_se = 1.0 / se
 
             def gradloop(t, _):
@@ -153,11 +150,12 @@ def _bwd_kernel(taps_h, taps_w, n_tiles, num_classes, ignore_index,
                     gh = _unshift_add(gh, fh * gw, dh + 1, 1)
                 else:
                     gh = gw
-                dz_ref[0, pl.ds(t * ct, ct)] += gh
+                acc_ref[pl.ds(t * ct, ct)] += gh
                 return 0
 
             jax.lax.fori_loop(0, n_tiles, gradloop, 0)
             pi += 1
+    dz_ref[0] = acc_ref[...].astype(dz_ref.dtype)
 
 
 def can_use_fused_ce(logits_shape, out_hw, align_corners=False):
@@ -255,7 +253,8 @@ def _bwd(out_hw, num_classes, ignore_index, interpret, residuals, gbar):
         ],
         out_specs=pl.BlockSpec((1, c, h, w), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, c, h, w), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, c, h, w), z.dtype),
+        scratch_shapes=[pltpu.VMEM((c, h, w), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
