@@ -78,6 +78,7 @@ class Attention(nn.Module):
     attn_drop: float = 0.0
     proj_drop: float = 0.0
     sr_ratio: int = 1
+    fused_attention: bool = False  # forward-only Pallas kernel (teacher)
 
     @nn.compact
     def __call__(self, x, H, W, deterministic=True):
@@ -110,13 +111,23 @@ class Attention(nn.Module):
         self.sow('feats', 'K', k)
         self.sow('feats', 'V', v)
 
-        attn = jnp.einsum('bhnd,bhmd->bhnm', q, k,
-                          preferred_element_type=jnp.float32) * scale
-        self.sow('feats', 'ATTN', attn)
-        attn = nn.softmax(attn, axis=-1).astype(x.dtype)
-        attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
-
-        out = jnp.einsum('bhnm,bhmd->bhnd', attn, v)
+        from ...ops.pallas import can_use_fused_attn, fused_sra_attention
+        if (self.fused_attention and self.attn_drop == 0.0
+                and can_use_fused_attn(q.shape, k.shape[2], hd)):
+            # fused q@k^T -> fp32 softmax -> @v; never materializes the
+            # (N, M) attention tensor. Forward-only: the teacher sits
+            # under stop_gradient, so no VJP is needed. The 'ATTN' tap is
+            # unavailable on this path (enable only for teachers no
+            # distillation entry hooks on attention maps).
+            out = fused_sra_attention(q, k, v, scale)
+        else:
+            attn = jnp.einsum('bhnd,bhmd->bhnm', q, k,
+                              preferred_element_type=jnp.float32) * scale
+            self.sow('feats', 'ATTN', attn)
+            attn = nn.softmax(attn, axis=-1).astype(x.dtype)
+            attn = nn.Dropout(self.attn_drop)(attn,
+                                              deterministic=deterministic)
+            out = jnp.einsum('bhnm,bhmd->bhnd', attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
         out = nn.Dense(C, dtype=x.dtype, kernel_init=trunc_normal_init(),
                        name='proj')(out)
@@ -135,6 +146,7 @@ class Block(nn.Module):
     drop_path: float = 0.0
     sr_ratio: int = 1
     gelu_approximate: bool = True
+    fused_attention: bool = False
 
     @nn.compact
     def __call__(self, x, H, W, deterministic=True):
@@ -142,7 +154,8 @@ class Block(nn.Module):
         h = Attention(self.dim, num_heads=self.num_heads,
                       qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
                       attn_drop=self.attn_drop, proj_drop=self.drop,
-                      sr_ratio=self.sr_ratio, name='attn')(
+                      sr_ratio=self.sr_ratio,
+                      fused_attention=self.fused_attention, name='attn')(
                           h, H, W, deterministic=deterministic)
         x = x + DropPath(self.drop_path, name='drop_path1')(
             h, deterministic=deterministic)
@@ -187,6 +200,7 @@ class MixVisionTransformer(nn.Module):
     depths: Sequence[int] = (3, 4, 6, 3)
     sr_ratios: Sequence[int] = (8, 4, 2, 1)
     gelu_approximate: bool = True
+    fused_attention: bool = False  # forward-only Pallas SRA (teachers)
     with_cp: bool = False  # gradient checkpointing per block (jax.remat)
     dtype: jnp.dtype = jnp.float32
 
@@ -225,6 +239,7 @@ class MixVisionTransformer(nn.Module):
                           drop_path=dpr[cur + i],
                           sr_ratio=self.sr_ratios[s],
                           gelu_approximate=self.gelu_approximate,
+                          fused_attention=self.fused_attention,
                           name=f'block{s + 1}_{i}')(x, H, W, det)
             x = nn.LayerNorm(epsilon=1e-6, dtype=x.dtype,
                              name=f'norm{s + 1}')(x)

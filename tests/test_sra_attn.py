@@ -1,0 +1,34 @@
+"""Fused SRA attention kernel vs the unfused einsum reference
+(interpret mode; the real-chip path is exercised by bench.py)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from segdistill_tpu.ops.pallas import fused_sra_attention
+
+
+def _reference(q, k, v, scale):
+    attn = jnp.einsum('bhnd,bhmd->bhnm', q, k,
+                      preferred_element_type=jnp.float32) * scale
+    attn = jax.nn.softmax(attn, axis=-1).astype(q.dtype)
+    return jnp.einsum('bhnm,bhmd->bhnd', attn, v)
+
+
+@pytest.mark.parametrize('dtype,heads,n,m,d,tol', [
+    (jnp.float32, 1, 256, 128, 32, 1e-5),
+    (jnp.float32, 2, 512, 256, 64, 1e-5),
+    (jnp.bfloat16, 5, 256, 256, 64, 2e-2),
+])
+def test_fused_sra_attention_matches_reference(dtype, heads, n, m, d, tol):
+    rs = np.random.RandomState(0)
+    q = jnp.asarray(rs.randn(2, heads, n, d), dtype)
+    k = jnp.asarray(rs.randn(2, heads, m, d), dtype)
+    v = jnp.asarray(rs.randn(2, heads, m, d), dtype)
+    scale = d ** -0.5
+    got = fused_sra_attention(q, k, v, scale, interpret=True, qtile=128)
+    want = _reference(q, k, v, scale)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=tol, atol=tol)
