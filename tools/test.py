@@ -40,7 +40,11 @@ def main():
         pipe['flip'] = True
 
     logger = get_root_logger()
-    model, variables = init_segmentor(cfg, args.checkpoint)
+    # init at a small spatial shape: params are shape-independent, and a
+    # 512^2 student+teacher init is minutes of eager compute on a 1-core
+    # CPU host
+    model, variables = init_segmentor(cfg, args.checkpoint,
+                                      input_shape=(1, 64, 64, 3))
     dataset = build_dataset(cfg.data['test'], dict(test_mode=True))
 
     results = single_device_test(model, variables, dataset)
