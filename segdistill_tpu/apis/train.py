@@ -115,5 +115,8 @@ def train_segmentor(model, dataset, cfg, distributed=True, validate=False,
             'interval', 4000),
         max_keep_ckpts=cfg.get('checkpoint_config', {}).get(
             'max_keep_ckpts', 1),
-        eval_hook=eval_hook)
+        eval_hook=eval_hook,
+        tensorboard=any(
+            h.get('type') == 'TensorboardLoggerHook'
+            for h in cfg.get('log_config', {}).get('hooks', [])))
     return runner.run(loader, cfg.get('workflow', [('train', 1)]))

@@ -97,7 +97,7 @@ class IterBasedRunner:
     def __init__(self, model, train_step, state, teacher_vars, mesh,
                  max_iters, work_dir=None, log_interval=50, logger=None,
                  checkpoint_interval=4000, max_keep_ckpts=1,
-                 eval_hook=None, timers=True):
+                 eval_hook=None, timers=True, tensorboard=False):
         self.model = model
         self.train_step = train_step
         self.state = state
@@ -111,6 +111,16 @@ class IterBasedRunner:
         self.max_keep_ckpts = max_keep_ckpts
         self.eval_hook = eval_hook
         self.timers = timers
+        # TensorboardLoggerHook analogue (the reference ships it
+        # commented out in _base_/default_runtime.py); rank 0 only
+        self.tb_writer = None
+        if tensorboard and work_dir:
+            import jax
+            if jax.process_index() == 0:
+                from torch.utils.tensorboard import SummaryWriter
+                import os.path as osp
+                self.tb_writer = SummaryWriter(
+                    osp.join(work_dir, 'tf_logs'))
 
     @property
     def iter(self):
@@ -152,6 +162,12 @@ class IterBasedRunner:
                     f'Iter [{step}/{self.max_iters}] '
                     f'time: {t_step:.3f}, data_time: '
                     f'{t_data / self.log_interval:.3f}, {msg}')
+                if self.tb_writer is not None:
+                    for k, v in log_vars.items():
+                        self.tb_writer.add_scalar(f'train/{k}', float(v),
+                                                  step)
+                    self.tb_writer.add_scalar('train/iter_time', t_step,
+                                              step)
                 t_data = 0.0
 
             if self.work_dir and step % self.checkpoint_interval == 0:
@@ -167,4 +183,6 @@ class IterBasedRunner:
         if self.work_dir:
             save_checkpoint(self.work_dir, self.state,
                             max_keep=self.max_keep_ckpts)
+        if self.tb_writer is not None:
+            self.tb_writer.close()
         return self.state

@@ -163,3 +163,41 @@ def test_syncbn_matches_global_batch():
     got_leaves = jax.tree.leaves(got)
     for r, g in zip(ref_leaves, got_leaves):
         np.testing.assert_allclose(np.asarray(g), np.asarray(r), rtol=1e-5)
+
+
+def test_runner_tensorboard_hook(tmp_path, monkeypatch):
+    """TensorboardLoggerHook analogue: scalars written under work_dir
+    (ref _base_/default_runtime.py ships the hook commented out)."""
+    pytest.importorskip('torch.utils.tensorboard')
+    import os
+    from segdistill_tpu.engine import checkpoint as ckpt_mod
+    from segdistill_tpu.engine.runner import IterBasedRunner
+    from segdistill_tpu.parallel import create_mesh
+    monkeypatch.setattr(ckpt_mod, 'save_checkpoint',
+                        lambda *a, **k: None)
+
+    class _FakeState:
+        step = 0
+
+    logs = {'loss': jnp.float32(1.0), 'decode.acc_seg': jnp.float32(50.0)}
+
+    class _Step:
+        def __call__(self, state, tv, img, gt):
+            state.step += 1
+            return state, dict(logs)
+
+    class _Loader:
+        def __iter__(self):
+            import numpy as np
+            while True:
+                yield {'img': np.zeros((8, 8, 8, 3), np.float32),
+                       'gt_semantic_seg': np.zeros((8, 8, 8), np.int32)}
+
+    runner = IterBasedRunner(
+        model=None, train_step=_Step(), state=_FakeState(),
+        teacher_vars={}, mesh=create_mesh(), max_iters=2,
+        work_dir=str(tmp_path), log_interval=1, tensorboard=True)
+    runner.run(_Loader())
+    tb_dir = os.path.join(str(tmp_path), 'tf_logs')
+    files = os.listdir(tb_dir)
+    assert any('tfevents' in f for f in files)
