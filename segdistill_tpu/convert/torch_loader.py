@@ -140,7 +140,10 @@ def translate_state_dict(state_dict, variables, backbone_only=False,
 
     matched, unexpected = set(), []
     for key, arr in state_dict.items():
-        if key.endswith('num_batches_tracked'):
+        # non-weight buffers: BN counters and Swin's precomputed index /
+        # mask buffers (recomputed statically on the flax side)
+        if key.endswith(('num_batches_tracked', 'relative_position_index',
+                         'attn_mask')):
             continue
         base = _translate_base(key)
         bases = [base] + [re.sub(p, r, base) for p, r in _BASE_ALTERNATES

@@ -140,17 +140,21 @@ class SwinTransformerBlock(nn.Module):
     drop: float = 0.0
     attn_drop: float = 0.0
     drop_path: float = 0.0
+    gelu_approximate: bool = True
 
     @nn.compact
     def __call__(self, x, H, W, deterministic=True):
         B, L, C = x.shape
-        ws = min(self.window_size, min(H, W))
-        shift = 0 if ws >= min(H, W) and self.shift_size > 0 else self.shift_size
-        if ws == min(H, W) and ws <= self.window_size:
-            shift = 0 if min(H, W) <= self.window_size else shift
+        # reference semantics (swin:200-249): the window size is FIXED;
+        # small maps are zero-padded up to a window multiple and the
+        # shifted-window mask handles the rest. (An earlier adaptive
+        # window-shrink here diverged from the reference on maps smaller
+        # than the window.)
+        ws = self.window_size
+        shift = self.shift_size
 
         shortcut = x
-        x = nn.LayerNorm(dtype=x.dtype, name='norm1')(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=x.dtype, name='norm1')(x)
         x = x.reshape(B, H, W, C)
 
         pad_b = (ws - H % ws) % ws
@@ -181,8 +185,9 @@ class SwinTransformerBlock(nn.Module):
 
         x = shortcut + DropPath(self.drop_path, name='drop_path1')(
             x, deterministic=deterministic)
-        h = nn.LayerNorm(dtype=x.dtype, name='norm2')(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=x.dtype, name='norm2')(x)
         h = SwinMlp(int(self.dim * self.mlp_ratio), self.dim, drop=self.drop,
+                    gelu_approximate=self.gelu_approximate,
                     name='mlp')(h, deterministic=deterministic)
         x = x + DropPath(self.drop_path, name='drop_path2')(
             h, deterministic=deterministic)
@@ -205,7 +210,7 @@ class PatchMerging(nn.Module):
         x3 = x[:, 1::2, 1::2]
         x = jnp.concatenate([x0, x1, x2, x3], axis=-1)
         x = x.reshape(B, -1, 4 * C)
-        x = nn.LayerNorm(dtype=x.dtype, name='norm')(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=x.dtype, name='norm')(x)
         x = nn.Dense(2 * self.dim, use_bias=False, dtype=x.dtype,
                      kernel_init=trunc_normal_init(), name='reduction')(x)
         return x
@@ -228,6 +233,7 @@ class SwinTransformer(nn.Module):
     drop_rate: float = 0.0
     attn_drop_rate: float = 0.0
     drop_path_rate: float = 0.2
+    gelu_approximate: bool = True
     ape: bool = False
     patch_norm: bool = True
     out_indices: Sequence[int] = (0, 1, 2, 3)
@@ -258,7 +264,8 @@ class SwinTransformer(nn.Module):
         B, H, W, C = x.shape
         x = x.reshape(B, H * W, C)
         if self.patch_norm:
-            x = nn.LayerNorm(dtype=x.dtype, name='patch_embed_norm')(x)
+            x = nn.LayerNorm(epsilon=1e-5, dtype=x.dtype,
+                             name='patch_embed_norm')(x)
         if self.ape:
             pe_hw = self.pretrain_img_size // ps
             ape = self.param('absolute_pos_embed', trunc_normal_init(),
@@ -287,10 +294,12 @@ class SwinTransformer(nn.Module):
                     mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
                     qk_scale=self.qk_scale, drop=self.drop_rate,
                     attn_drop=self.attn_drop_rate, drop_path=dpr[cur + bi],
+                    gelu_approximate=self.gelu_approximate,
                     name=f'layers_{li}_blocks_{bi}')(x, H, W,
                                                      deterministic=det)
             if li in self.out_indices:
-                out = nn.LayerNorm(dtype=x.dtype, name=f'norm{li}')(x)
+                out = nn.LayerNorm(epsilon=1e-5, dtype=x.dtype,
+                                   name=f'norm{li}')(x)
                 outs.append(out.reshape(B, H, W, dim))
             if li < num_layers - 1:
                 x = PatchMerging(dim=dim,

@@ -32,7 +32,8 @@ def _randomize(model, seed=0):
     g = torch.Generator().manual_seed(seed)
     sd = model.state_dict()
     for k, v in sd.items():
-        if k.endswith('num_batches_tracked') or v.ndim == 0:
+        if (k.endswith('num_batches_tracked') or v.ndim == 0
+                or not v.is_floating_point()):  # index buffers stay intact
             continue
         if 'running_var' in k:
             sd[k] = 0.5 + torch.rand(v.shape, generator=g)
@@ -333,3 +334,70 @@ class TestPSPResNetParity:
         np.testing.assert_allclose(f_losses, t_losses, rtol=1e-2,
                                    err_msg=f'flax {f_losses} vs torch '
                                            f'{t_losses}')
+
+
+def _build_torch_swin(num_classes=19, channels=64):
+    from torch_ref.heads import EncoderDecoder, UPerHead
+    from torch_ref.swin import SwinTransformer
+    bb = SwinTransformer(embed_dim=96, depths=(2, 2, 6, 2),
+                         num_heads=(3, 6, 12, 24), window_size=7)
+    head = UPerHead([96, 192, 384, 768], channels, num_classes)
+    return EncoderDecoder(bb, head)
+
+
+def _swin_cfg(num_classes=19, channels=64):
+    return dict(
+        type='EncoderDecoder',
+        backbone=dict(type='SwinTransformer', embed_dim=96,
+                      depths=(2, 2, 6, 2), num_heads=(3, 6, 12, 24),
+                      window_size=7, drop_path_rate=0.0, drop_rate=0.0,
+                      gelu_approximate=False),
+        decode_head=dict(type='UPerHead', in_channels=[96, 192, 384, 768],
+                         in_index=[0, 1, 2, 3], pool_scales=(1, 2, 3, 6),
+                         channels=channels, dropout_ratio=0.0,
+                         num_classes=num_classes, norm_cfg=NORM,
+                         align_corners=False),
+        test_cfg=dict(mode='whole'))
+
+
+class TestSwinUPerParity:
+    """Swin-T + UPerHead: the third student family of exp_tab5 and the
+    most conversion-fragile model (rel-pos bias tables, fused qkv,
+    shifted-window masks)."""
+
+    @pytest.fixture(scope='class')
+    def setup(self, tmp_path_factory):
+        tmodel = _randomize(_build_torch_swin(), seed=9).eval()
+        fmodel = build_segmentor(_swin_cfg())
+        variables = _convert(fmodel, tmodel,
+                             tmp_path_factory.mktemp('swin'),
+                             (1, 56, 56, 3))
+        return tmodel, fmodel, variables
+
+    def test_backbone_stage_parity(self, setup):
+        tmodel, fmodel, variables = setup
+        # 56 = 8 windows at stage1 (14x14 maps at stage 3, 7x7 at stage 4:
+        # exercises both whole-window and padded/shifted paths)
+        x = np.random.RandomState(8).randn(2, 3, 56, 56).astype(np.float32)
+        with torch.no_grad():
+            t_outs = tmodel.backbone(torch.from_numpy(x))
+        f_outs = fmodel.net.apply(
+            variables, jnp.asarray(x.transpose(0, 2, 3, 1)), train=False,
+            method=fmodel.net.extract_feat)
+        for s, (t, f) in enumerate(zip(t_outs, f_outs)):
+            np.testing.assert_allclose(
+                np.asarray(f, np.float32).transpose(0, 3, 1, 2), t.numpy(),
+                rtol=1e-4, atol=1e-5,
+                err_msg=f'swin stage {s} diverged')
+
+    def test_logit_parity(self, setup):
+        tmodel, fmodel, variables = setup
+        x = np.random.RandomState(9).randn(2, 3, 56, 56).astype(np.float32)
+        with torch.no_grad():
+            t_logits = tmodel(torch.from_numpy(x)).numpy()
+        outs = fmodel.net.apply(variables,
+                                jnp.asarray(x.transpose(0, 2, 3, 1)),
+                                train=False, with_aux=False)
+        f_logits = np.asarray(outs['decode'], np.float32).transpose(
+            0, 3, 1, 2)
+        np.testing.assert_allclose(f_logits, t_logits, rtol=1e-4, atol=1e-5)

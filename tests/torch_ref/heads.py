@@ -151,3 +151,54 @@ class EncoderDecoder(nn.Module):
             total = total + self._ce(self.auxiliary_head(feats), label,
                                      self.aux_weight)
         return total
+
+
+class UPerHead(nn.Module):
+    """ref uper_head.py:11-126: PPM on the top level + FPN top-down path.
+    State-dict keys: psp_modules.{i}.1.*, bottleneck, lateral_convs.{i},
+    fpn_convs.{i}, fpn_bottleneck, conv_seg."""
+
+    def __init__(self, in_channels, channels, num_classes,
+                 pool_scales=(1, 2, 3, 6)):
+        super().__init__()
+        self.psp_modules = nn.ModuleList([
+            nn.Sequential(nn.AdaptiveAvgPool2d(s),
+                          ConvModule(in_channels[-1], channels, 1))
+            for s in pool_scales])
+        self.bottleneck = ConvModule(
+            in_channels[-1] + len(pool_scales) * channels, channels, 3,
+            padding=1)
+        self.lateral_convs = nn.ModuleList(
+            [ConvModule(c, channels, 1) for c in in_channels[:-1]])
+        self.fpn_convs = nn.ModuleList(
+            [ConvModule(channels, channels, 3, padding=1)
+             for _ in in_channels[:-1]])
+        self.fpn_bottleneck = ConvModule(len(in_channels) * channels,
+                                         channels, 3, padding=1)
+        self.conv_seg = nn.Conv2d(channels, num_classes, 1)
+
+    def _psp(self, x):
+        outs = [x]
+        for m in self.psp_modules:
+            outs.append(F.interpolate(m(x), size=x.shape[2:],
+                                      mode='bilinear', align_corners=False))
+        return self.bottleneck(torch.cat(outs, dim=1))
+
+    def forward(self, inputs):
+        laterals = [conv(inputs[i])
+                    for i, conv in enumerate(self.lateral_convs)]
+        laterals.append(self._psp(inputs[-1]))
+        for i in range(len(laterals) - 1, 0, -1):
+            laterals[i - 1] = laterals[i - 1] + F.interpolate(
+                laterals[i], size=laterals[i - 1].shape[2:],
+                mode='bilinear', align_corners=False)
+        fpn_outs = [self.fpn_convs[i](laterals[i])
+                    for i in range(len(laterals) - 1)]
+        fpn_outs.append(laterals[-1])
+        for i in range(len(fpn_outs) - 1, 0, -1):
+            fpn_outs[i] = F.interpolate(fpn_outs[i],
+                                        size=fpn_outs[0].shape[2:],
+                                        mode='bilinear',
+                                        align_corners=False)
+        out = self.fpn_bottleneck(torch.cat(fpn_outs, dim=1))
+        return self.conv_seg(out)
