@@ -155,11 +155,28 @@ class SDModuleMT(BaseSegmentor):
             self.teachers.append(builder.build_segmentor(
                 c, train_cfg=train_cfg, test_cfg=test_cfg))
 
-        # aligned path of DistillationLossMT (opts.py:198-208): entry i uses
-        # teacher_layer + str(i)
-        self.distillation_loss = DistillationLoss([
-            dict(entry, teacher_layer=entry['teacher_layer'] + str(i))
-            for i, entry in enumerate(self.distillation)])
+        # Two reference dispatch modes (DistillationLossMT, opts.py:184-209):
+        # * aligned (len(features) == len(entries)): entry i pairs with
+        #   teacher i via the index-suffixed tap name;
+        # * random ensemble (one entry, many teachers, ref :186-197): the
+        #   criterion sees every teacher. The reference criteria for that
+        #   path are commented out; the TPU-native interpretation computes
+        #   the entry's loss against EVERY teacher and randomly selects one
+        #   per step (key 'loss_random', ref :196) — jit-friendly for
+        #   teachers of different widths, expectation-equal to sampling a
+        #   teacher per step.
+        self.random_ensemble = (len(self.distillation) == 1
+                                and len(self.teachers) > 1)
+        if self.random_ensemble:
+            entries = [dict(self.distillation[0],
+                            teacher_layer=self.distillation[0][
+                                'teacher_layer'] + str(i))
+                       for i in range(len(self.teachers))]
+        else:
+            entries = [dict(entry,
+                            teacher_layer=entry['teacher_layer'] + str(i))
+                       for i, entry in enumerate(self.distillation)]
+        self.distillation_loss = DistillationLoss(entries)
         self.student_layers, _ = needed_layers(self.distillation)
 
         self.train_cfg = train_cfg or {}
@@ -187,6 +204,16 @@ class SDModuleMT(BaseSegmentor):
             t_feats.update({k + str(i): v for k, v in feats.items()})
         d_losses = self.distillation_loss(s_feats, t_feats, gt, step,
                                           rng=shuffle_rng)
+        if self.random_ensemble:
+            import jax.numpy as jnp
+            vals = jnp.stack([jnp.asarray(v, jnp.float32)
+                              for v in d_losses.values()])
+            sel_rng = shuffle_rng if shuffle_rng is not None \
+                else jax.random.key(0)
+            idx = jax.random.randint(
+                jax.random.fold_in(sel_rng, step), (), 0, vals.shape[0])
+            onehot = jax.nn.one_hot(idx, vals.shape[0], dtype=vals.dtype)
+            d_losses = {'loss_random': jnp.sum(vals * onehot)}
         losses.update(d_losses)
         return losses, new_state
 

@@ -109,3 +109,42 @@ def test_distill_loss_scheduling_changes_with_step():
     assert dloss(500) == pytest.approx(dloss(1500) / 3.0, rel=1e-4)
     # early-decay end: zero
     assert dloss(130001) == 0.0
+
+
+def test_sdmodule_mt_random_ensemble():
+    """One entry + many teachers -> the reference's 'random' dispatch
+    (opts.py:186-197): per-step random teacher, loss key 'loss_random'."""
+    from segdistill_tpu.models import build_segmentor
+    from segdistill_tpu.models.segmentors import parse_losses
+
+    def enc(depth):
+        return dict(type='EncoderDecoder',
+                    backbone=dict(type='ResNet', depth=depth, num_stages=4,
+                                  out_indices=(0, 1, 2, 3),
+                                  norm_cfg=dict(type='BN')),
+                    decode_head=dict(
+                        type='FCNHead', in_channels=512, in_index=3,
+                        channels=16, num_convs=1, concat_input=False,
+                        dropout_ratio=0.0, num_classes=5,
+                        norm_cfg=dict(type='BN'), align_corners=False))
+
+    model = build_segmentor(dict(
+        type='SDModuleMT',
+        cfg_s=enc(18),
+        cfg_t=[enc(18), enc(18)],
+        distillation=[dict(student_layer='decode_head.conv_seg',
+                           teacher_layer='decode_head.conv_seg',
+                           loss_name='CGDLoss',
+                           loss_config=dict(group_size=1, alpha=1,
+                                            tau=1))]))
+    assert model.random_ensemble
+    v = model.init_variables(jax.random.key(0), (1, 32, 32, 3))
+    img = jnp.zeros((1, 32, 32, 3))
+    gt = jnp.zeros((1, 32, 32), jnp.int32)
+    losses, _ = model.forward_train(
+        v['student'], v['teachers'], img, gt, 3,
+        rngs={'dropout': jax.random.key(1)},
+        shuffle_rng=jax.random.key(2))
+    assert 'loss_random' in losses
+    total, log_vars = parse_losses(losses)
+    assert np.isfinite(float(total))
