@@ -401,3 +401,66 @@ class TestSwinUPerParity:
         f_logits = np.asarray(outs['decode'], np.float32).transpose(
             0, 3, 1, 2)
         np.testing.assert_allclose(f_logits, t_logits, rtol=1e-4, atol=1e-5)
+
+    def test_step0_gradient_cosine(self, setup):
+        """Structural gradient check for the Swin/UPer pair (UPerHead is
+        BN-heavy: same cosine gate rationale as TestPSPResNetParity)."""
+        tmodel, fmodel, variables = setup
+        import copy
+        tmodel = copy.deepcopy(tmodel).train()
+        rs = np.random.RandomState(10)
+        img = rs.randn(2, 3, 56, 56).astype(np.float32)
+        gt = np.where(rs.rand(2, 56, 56) < 0.1, 255,
+                      rs.randint(0, 19, (2, 56, 56))).astype(np.int32)
+
+        loss = tmodel.loss(torch.from_numpy(img),
+                           torch.from_numpy(gt).long())
+        loss.backward()
+        tgrads = {k: p.grad.detach().numpy() for k, p in
+                  tmodel.named_parameters() if p.grad is not None}
+
+        import flax
+        from segdistill_tpu.convert.torch_loader import _translate_base
+        from segdistill_tpu.models.segmentors import parse_losses
+        ms = {k: v for k, v in variables.items() if k != 'params'}
+
+        def loss_fn(params):
+            losses, _, _ = fmodel.forward_train(
+                {'params': params, **ms},
+                jnp.asarray(img.transpose(0, 2, 3, 1)), jnp.asarray(gt),
+                rngs={'dropout': jax.random.PRNGKey(0)})
+            return parse_losses(losses)[0]
+
+        fval, grads = jax.value_and_grad(loss_fn)(variables['params'])
+        np.testing.assert_allclose(float(fval), float(loss.detach()),
+                                   rtol=1e-4)
+        flat = {'.'.join(k): np.asarray(v) for k, v in
+                flax.traverse_util.flatten_dict(grads).items()}
+        tv, fv = [], []
+        for tk, tg in tgrads.items():
+            comps = _translate_base(tk).split('.')
+            if tk.endswith('weight'):
+                cands = (['.'.join(comps[:-1]) + '.kernel']
+                         if tg.ndim >= 2 else
+                         ['.'.join(comps[:-1]) + '.scale',
+                          '.'.join(comps[:-1]) + '.bn.scale'])
+            else:
+                cands = ['.'.join(comps[:-1]) + '.bias',
+                         '.'.join(comps[:-1]) + '.bn.bias',
+                         _translate_base(tk)]
+            # UPerHead's torch 'bottleneck' lives at flax 'psp_bottleneck'
+            # (converter _BASE_ALTERNATES)
+            cands += [c.replace('.bottleneck.', '.psp_bottleneck.')
+                      for c in cands]
+            fk = next((c for c in cands if c in flat), None)
+            assert fk is not None, f'no flax grad found for {tk}'
+            fg = flat[fk]
+            if tg.ndim == 4:
+                fg = fg.transpose(3, 2, 0, 1)
+            elif tg.ndim == 2:
+                fg = fg.T
+            tv.append(tg.ravel())
+            fv.append(fg.ravel())
+        t, f = np.concatenate(tv), np.concatenate(fv)
+        g_cos = np.dot(t, f) / (np.linalg.norm(t) * np.linalg.norm(f))
+        assert g_cos > 0.999, f'global grad cosine {g_cos}'
