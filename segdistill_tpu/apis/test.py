@@ -56,6 +56,20 @@ def _jit_inference_to_ori(model):
     return compiled
 
 
+def _host_resize_logits(logits, ori_hw, align_corners):
+    """Resize (h, w, C) logits to ori_hw on host, honoring the model's
+    ``align_corners``: cv2 INTER_LINEAR *is* align_corners=False semantics;
+    an align_corners=True model goes through the framework's torch-exact
+    resize so bucket population can't change the interpolation semantics."""
+    if not align_corners:
+        return imutil.imresize(logits, (ori_hw[1], ori_hw[0]),
+                               interpolation='bilinear')
+    from ..ops import resize
+    out = resize(np.asarray(logits, np.float32)[None], size=tuple(ori_hw),
+                 mode='bilinear', align_corners=True, warning=False)
+    return np.asarray(out)[0]
+
+
 def _softmax(x, axis=-1):
     x = x - x.max(axis=axis, keepdims=True)
     e = np.exp(x)
@@ -81,8 +95,8 @@ def _predict_one(model, variables, compiled, imgs, metas):
         logits = np.asarray(fn(variables, x))[0]
         h, w = meta['img_shape'][:2]
         logits = logits[:h, :w]  # crop any padding
-        logits = imutil.imresize(logits, (ori_shape[1], ori_shape[0]),
-                                 interpolation='bilinear')
+        logits = _host_resize_logits(logits, tuple(ori_shape[:2]),
+                                     model.align_corners)
         probs = _softmax(logits.astype(np.float32))
         if meta.get('flip', False):
             axis = 1 if meta.get('flip_direction',
@@ -183,9 +197,9 @@ def _batched_test(model, variables, dataset, compiled, batch_size, logger,
                     meta = loaded[i][1][0]
                     ori_shape = meta['ori_shape']
                     h, w = meta['img_shape'][:2]
-                    lg = imutil.imresize(out[j][:h, :w],
-                                         (ori_shape[1], ori_shape[0]),
-                                         interpolation='bilinear')
+                    lg = _host_resize_logits(out[j][:h, :w],
+                                             tuple(ori_shape[:2]),
+                                             model.align_corners)
                     results[i] = np.argmax(lg, axis=-1).astype(np.int64)
             done += len(chunk)
             if progress and done % 50 < bs:

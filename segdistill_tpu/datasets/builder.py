@@ -179,7 +179,12 @@ class DataLoader:
                             return
                         if len(batch_idx) == 0:
                             continue
-                        seeds = [self.seed + self.rank * 100003 + counter + j
+                        # SeedSequence keys (seed, rank, stream position):
+                        # rank streams can never collide, unlike additive
+                        # offsets which alias once counter > offset stride
+                        seeds = [int(np.random.SeedSequence(
+                                     (self.seed, self.rank, counter + j)
+                                     ).generate_state(1)[0])
                                  if self.shuffle else None
                                  for j in range(len(batch_idx))]
                         counter += len(batch_idx)

@@ -117,10 +117,16 @@ class IterBasedRunner:
         if tensorboard and work_dir:
             import jax
             if jax.process_index() == 0:
-                from torch.utils.tensorboard import SummaryWriter
-                import os.path as osp
-                self.tb_writer = SummaryWriter(
-                    osp.join(work_dir, 'tf_logs'))
+                try:
+                    from torch.utils.tensorboard import SummaryWriter
+                except ImportError:
+                    self.logger.warning(
+                        'torch.utils.tensorboard unavailable; '
+                        'continuing without TensorBoard logging')
+                else:
+                    import os.path as osp
+                    self.tb_writer = SummaryWriter(
+                        osp.join(work_dir, 'tf_logs'))
 
     @property
     def iter(self):

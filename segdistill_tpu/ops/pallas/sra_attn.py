@@ -60,7 +60,14 @@ def fused_sra_attention(q, k, v, scale, interpret=False, qtile=None):
     """
     B, H, N, d = q.shape
     M = k.shape[2]
-    t = qtile or min(_QTILE, N)
+    if qtile is not None:
+        t = qtile
+    else:
+        # largest lane-aligned tile that DIVIDES N — a non-divisor tile
+        # would floor the grid and leave the last N mod t rows unwritten
+        t = next((c for c in (512, 384, 256, 128) if N % c == 0), N)
+    if N % t:
+        raise ValueError(f'q tile {t} does not divide N={N}')
     q_r = q.reshape(B * H, N, d)
     k_r = k.reshape(B * H, M, d)
     v_r = v.reshape(B * H, M, d)

@@ -32,3 +32,21 @@ def test_fused_sra_attention_matches_reference(dtype, heads, n, m, d, tol):
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(want, np.float32),
                                rtol=tol, atol=tol)
+
+
+def test_fused_sra_attention_nonmultiple_of_512():
+    """N % 128 == 0 but N % 512 != 0 (e.g. whole-mode inference on a
+    non-square map): the auto-picked q tile must DIVIDE N, otherwise the
+    floored grid leaves the last N mod t rows unwritten (advisor r2)."""
+    rs = np.random.RandomState(1)
+    n, m, d = 640, 128, 32  # 640 = 128*5: not divisible by 512/384/256
+    q = jnp.asarray(rs.randn(1, 2, n, d), jnp.float32)
+    k = jnp.asarray(rs.randn(1, 2, m, d), jnp.float32)
+    v = jnp.asarray(rs.randn(1, 2, m, d), jnp.float32)
+    got = fused_sra_attention(q, k, v, d ** -0.5, interpret=True)
+    want = _reference(q, k, v, d ** -0.5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+    # a tail-dropping tile is rejected loudly rather than floored
+    with pytest.raises(ValueError):
+        fused_sra_attention(q, k, v, d ** -0.5, interpret=True, qtile=512)
