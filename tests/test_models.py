@@ -173,3 +173,63 @@ def test_feature_tap_names_match_reference():
     for expect in ('block1.0.attn.Q', 'block1.0.attn.ATTN', 'block1.0.FEA',
                    'block4.1.attn.V'):
         assert expect in names, sorted(names)[:10]
+
+
+def _naive_slide_oracle(model, variables, img, crop, stride):
+    """Numpy re-implementation of the reference's overlap-window loop
+    (ref encoder_decoder.py:169-212): zero-init accumulators, F.pad-style
+    scatter-add of each crop's logits, count-matrix division."""
+    h_crop, w_crop = crop
+    h_stride, w_stride = stride
+    B, h_img, w_img, _ = img.shape
+    C = model.num_classes
+    preds = np.zeros((B, h_img, w_img, C), np.float64)
+    count = np.zeros((1, h_img, w_img, 1), np.float64)
+    h_grids = max(h_img - h_crop + h_stride - 1, 0) // h_stride + 1
+    w_grids = max(w_img - w_crop + w_stride - 1, 0) // w_stride + 1
+    for hi in range(h_grids):
+        for wi in range(w_grids):
+            y1, x1 = hi * h_stride, wi * w_stride
+            y2, x2 = min(y1 + h_crop, h_img), min(x1 + w_crop, w_img)
+            y1, x1 = max(y2 - h_crop, 0), max(x2 - w_crop, 0)
+            logit = np.asarray(model.encode_decode(
+                variables, jnp.asarray(img[:, y1:y2, x1:x2])), np.float64)
+            preds[:, y1:y2, x1:x2] += logit
+            count[:, y1:y2, x1:x2] += 1.0
+    assert (count == 0).sum() == 0
+    return preds / count
+
+
+@pytest.mark.slow
+def test_slide_inference_overlap_matches_naive_oracle():
+    """The overlapping-window count-matrix path (the eval mode every PSP
+    config declares) vs a naive numpy loop implementing ref
+    encoder_decoder.py:169-212. 64x80 input, crop 32, stride 24:
+    windows overlap unevenly (counts 1..4) and the last row/col windows
+    are re-anchored (y1 = max(y2 - crop, 0))."""
+    cfg = _mini_encdec()
+    model = build_segmentor(cfg, train_cfg=dict(),
+                            test_cfg=dict(mode='slide', crop_size=(32, 32),
+                                          stride=(24, 24)))
+    variables = model.init_variables(jax.random.key(0), (1, 32, 32, 3))
+    img = np.random.RandomState(3).randn(2, 64, 80, 3).astype(np.float32)
+    got = np.asarray(model.slide_inference(variables, jnp.asarray(img)))
+    want = _naive_slide_oracle(model, variables, img, (32, 32), (24, 24))
+    np.testing.assert_allclose(got, want.astype(np.float32), rtol=1e-5,
+                               atol=1e-5)
+
+
+@pytest.mark.slow
+def test_slide_inference_crop_larger_than_image():
+    """Ref contract: 'If h_crop > h_img ... the small patch will be used
+    to decode without padding' (encoder_decoder.py:172-174) — a single
+    whole-image window, no padding."""
+    cfg = _mini_encdec()
+    model = build_segmentor(cfg, train_cfg=dict(),
+                            test_cfg=dict(mode='slide', crop_size=(32, 32),
+                                          stride=(24, 24)))
+    variables = model.init_variables(jax.random.key(0), (1, 32, 32, 3))
+    img = np.random.RandomState(4).randn(1, 24, 24, 3).astype(np.float32)
+    got = np.asarray(model.slide_inference(variables, jnp.asarray(img)))
+    want = np.asarray(model.encode_decode(variables, jnp.asarray(img)))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)

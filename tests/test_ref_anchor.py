@@ -104,6 +104,7 @@ def anchored(tmp_path_factory):
     return tmodel, fmodel, variables
 
 
+@pytest.mark.slow
 class TestFlaxMatchesReferenceSource:
     """flax == the reference's own mix_transformer.py / segformer_head.py,
     through the production converter."""
@@ -157,6 +158,7 @@ class TestFlaxMatchesReferenceSource:
         assert not stray, f'converter dropped reference tensors: {stray}'
 
 
+@pytest.mark.slow
 def test_replica_matches_reference_source():
     """tests/torch_ref (the oracle used by every other parity test) ==
     the reference source, on shared random weights."""
