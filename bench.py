@@ -24,13 +24,15 @@ Prints ONE JSON line.
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
 REFERENCE_IMGS_PER_SEC_PER_CHIP = 8.0
 
-BATCH = 8           # the reference's global batch (2 x 4 GPUs)
+# BENCH_BATCH env override: batch-scaling ladder runs (docs/perf.md)
+BATCH = int(os.environ.get('BENCH_BATCH', '8'))
 CROP = 512
 NUM_CLASSES = 150
 

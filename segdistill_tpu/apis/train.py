@@ -62,7 +62,9 @@ def train_segmentor(model, dataset, cfg, distributed=True, validate=False,
         datasets[0],
         cfg.data['samples_per_gpu'],
         cfg.data['workers_per_gpu'],
-        dist=distributed, shuffle=True, seed=seed, drop_last=True)
+        dist=distributed, shuffle=True, seed=seed, drop_last=True,
+        loader_backend=cfg.data.get('loader_backend', 'host'),
+        aug_cfg=cfg.data.get('aug_cfg'))
 
     mesh = create_mesh()
     crop = tuple(cfg.get('crop_size', (512, 512)))

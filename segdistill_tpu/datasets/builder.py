@@ -165,6 +165,9 @@ class DataLoader:
             if sample_seed is not None else None
         return getitem_with_rng(self.dataset, int(idx), rng)
 
+    def _collate(self, samples, seeds):
+        return default_collate(samples)
+
     def __iter__(self):
         q = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
@@ -190,7 +193,7 @@ class DataLoader:
                         counter += len(batch_idx)
                         samples = list(pool.map(self._load, batch_idx,
                                                 seeds))
-                        q.put(default_collate(samples))
+                        q.put(self._collate(samples, seeds))
                     if not self.infinite:
                         q.put(None)
                         return
@@ -208,16 +211,122 @@ class DataLoader:
             stop.set()
 
 
+def _load_only_view(dataset):
+    """A shallow copy of ``dataset`` whose pipeline keeps only the loading
+    transforms — the raw (img, gt) source for the batch-level augmentation
+    backends."""
+    from .dataset_wrappers import ConcatDataset, RepeatDataset
+    from .pipelines import Compose
+    if isinstance(dataset, RepeatDataset):
+        view = copy.copy(dataset)
+        view.dataset = _load_only_view(dataset.dataset)
+        return view
+    if isinstance(dataset, ConcatDataset):
+        view = copy.copy(dataset)
+        view.datasets = [_load_only_view(d) for d in dataset.datasets]
+        return view
+    view = copy.copy(dataset)
+    loads = [t for t in dataset.pipeline.transforms
+             if type(t).__name__ in ('LoadImageFromFile',
+                                     'LoadAnnotations')]
+    if len(loads) != 2:
+        raise ValueError(
+            "loader_backend='native'/'device' needs a train pipeline "
+            'containing LoadImageFromFile + LoadAnnotations; got '
+            f'{[type(t).__name__ for t in dataset.pipeline.transforms]}')
+    view.pipeline = Compose(loads)
+    return view
+
+
+class NativeAugDataLoader(DataLoader):
+    """``loader_backend='native'``: raw decode on the thread pool, then ONE
+    OpenMP batch call into the C++ core (native/fastaug.cpp) for the whole
+    Resize/RandomCrop/RandomFlip/PhotoMetricDistortion/Normalize chain.
+
+    Deterministic by (seed, rank, stream position) like the host loader,
+    on the core's own RNG stream (op semantics match the host pipeline;
+    the exact random sequence is backend-specific, same as the reference's
+    worker-dependent numpy streams)."""
+
+    def __init__(self, dataset, aug_cfg=None, **kwargs):
+        from ..native import FastAugBatch
+        super().__init__(_load_only_view(dataset), **kwargs)
+        self.aug = FastAugBatch(**(aug_cfg or {}))
+
+    def _load(self, idx, sample_seed):
+        res = getitem_with_rng(self.dataset, int(idx), None)
+        img = res['img'][..., ::-1]  # BGR (cv2 load) -> RGB
+        return (np.ascontiguousarray(img, np.uint8),
+                np.ascontiguousarray(res['gt_semantic_seg'], np.uint8))
+
+    def _collate(self, samples, seeds):
+        batch_seed = int(seeds[0]) if seeds and seeds[0] is not None else 0
+        imgs, gts = self.aug(samples, seed=batch_seed)
+        return {'img': imgs, 'gt_semantic_seg': gts}
+
+
+class DeviceAugDataLoader(DataLoader):
+    """``loader_backend='device'``: host decode + fixed-shape canvas
+    (PrepareCanvas), augmentation as one jitted XLA program per batch
+    (data/device_aug.py). Host threads only decode and pad."""
+
+    def __init__(self, dataset, aug_cfg=None, **kwargs):
+        from ..data.device_aug import DeviceAugPipeline, PrepareCanvas
+        super().__init__(_load_only_view(dataset), **kwargs)
+        aug_cfg = dict(aug_cfg or {})
+        canvas_cfg = {k: aug_cfg.pop(k) for k in ('img_scale', 'canvas')
+                      if k in aug_cfg}
+        self.canvas = PrepareCanvas(**canvas_cfg)
+        self.aug = DeviceAugPipeline(**aug_cfg)
+
+    def _load(self, idx, sample_seed):
+        res = getitem_with_rng(self.dataset, int(idx), None)
+        res['img'] = np.ascontiguousarray(res['img'][..., ::-1])  # ->RGB
+        return self.canvas(res)
+
+    def _collate(self, samples, seeds):
+        import jax
+        batch_seed = int(seeds[0]) if seeds and seeds[0] is not None else 0
+        imgs = np.stack([s['img'] for s in samples])
+        gts = np.stack([s['gt_semantic_seg'] for s in samples])
+        hw = np.stack([s['valid_hw'] for s in samples])
+        out_img, out_gt = self.aug(jax.random.key(batch_seed), imgs, gts,
+                                   hw)
+        return {'img': out_img, 'gt_semantic_seg': out_gt}
+
+
+LOADER_BACKENDS = {
+    'host': DataLoader,
+    'native': NativeAugDataLoader,
+    'device': DeviceAugDataLoader,
+}
+
+
 def build_dataloader(dataset, samples_per_gpu, workers_per_gpu,
                      num_gpus=1, dist=True, shuffle=True, seed=None,
-                     drop_last=True, **kwargs):
+                     drop_last=True, loader_backend='host', aug_cfg=None,
+                     **kwargs):
     """(ref builder.py:78-152). ``samples_per_gpu`` keeps its reference
     meaning: per-device batch; the loader yields the per-host share
-    (devices-per-host x samples_per_gpu)."""
+    (devices-per-host x samples_per_gpu).
+
+    ``loader_backend`` selects the augmentation engine for training
+    loaders: 'host' (per-sample python pipeline, the parity path),
+    'native' (C++ batch core) or 'device' (jitted on-device pipeline).
+    """
     import jax
     local_devices = jax.local_device_count()
     per_host = samples_per_gpu * (local_devices if dist else num_gpus)
-    return DataLoader(dataset, samples_per_gpu=per_host,
-                      num_workers=workers_per_gpu, shuffle=shuffle,
-                      seed=seed if seed is not None else 42,
-                      drop_last=drop_last and shuffle, **kwargs)
+    if loader_backend not in LOADER_BACKENDS:
+        raise ValueError(f'unknown loader_backend {loader_backend!r}; '
+                         f'choose from {sorted(LOADER_BACKENDS)}')
+    if loader_backend != 'host' and not shuffle:
+        raise ValueError('native/device loader backends are train-only '
+                         '(shuffle=True)')
+    cls = LOADER_BACKENDS[loader_backend]
+    if loader_backend != 'host':
+        kwargs['aug_cfg'] = aug_cfg
+    return cls(dataset, samples_per_gpu=per_host,
+               num_workers=workers_per_gpu, shuffle=shuffle,
+               seed=seed if seed is not None else 42,
+               drop_last=drop_last and shuffle, **kwargs)

@@ -168,10 +168,16 @@ class SDModuleMT(BaseSegmentor):
         self.random_ensemble = (len(self.distillation) == 1
                                 and len(self.teachers) > 1)
         if self.random_ensemble:
-            entries = [dict(self.distillation[0],
-                            teacher_layer=self.distillation[0][
-                                'teacher_layer'] + str(i))
-                       for i in range(len(self.teachers))]
+            # one DistillationLoss per teacher: forward_train selects the
+            # step's teacher with lax.switch, so only ONE teacher forward
+            # + loss is computed per step (not N computed and N-1
+            # discarded)
+            self.per_teacher_losses = [
+                DistillationLoss([dict(self.distillation[0],
+                                       teacher_layer=self.distillation[0][
+                                           'teacher_layer'] + str(i))])
+                for i in range(len(self.teachers))]
+            entries = []
         else:
             entries = [dict(entry,
                             teacher_layer=entry['teacher_layer'] + str(i))
@@ -196,24 +202,44 @@ class SDModuleMT(BaseSegmentor):
                       rngs=None, shuffle_rng=None):
         losses, s_feats, new_state = self.student.forward_train(
             student_vars, img, gt, rngs=rngs, capture_feats=True)
-        t_feats = {}
-        for i, (teacher, tvars) in enumerate(
-                zip(self.teachers, teacher_vars_list)):
-            feats = teacher.forward_feats(
-                jax.lax.stop_gradient(tvars), img, train=False)
-            t_feats.update({k + str(i): v for k, v in feats.items()})
-        d_losses = self.distillation_loss(s_feats, t_feats, gt, step,
-                                          rng=shuffle_rng)
         if self.random_ensemble:
+            # random teacher ensemble (ref opts.py:186-197, key
+            # 'loss_random'): pick the step's teacher, then lax.switch
+            # into that teacher's forward + loss — one teacher's compute
+            # per step, with gradients flowing through the selected
+            # branch only
             import jax.numpy as jnp
-            vals = jnp.stack([jnp.asarray(v, jnp.float32)
-                              for v in d_losses.values()])
             sel_rng = shuffle_rng if shuffle_rng is not None \
                 else jax.random.key(0)
             idx = jax.random.randint(
-                jax.random.fold_in(sel_rng, step), (), 0, vals.shape[0])
-            onehot = jax.nn.one_hot(idx, vals.shape[0], dtype=vals.dtype)
-            d_losses = {'loss_random': jnp.sum(vals * onehot)}
+                jax.random.fold_in(sel_rng, step), (), 0,
+                len(self.teachers))
+
+            def _branch(i):
+                def f(_):
+                    teacher = self.teachers[i]
+                    tvars = teacher_vars_list[i]
+                    feats = teacher.forward_feats(
+                        jax.lax.stop_gradient(tvars), img, train=False)
+                    t_feats = {k + str(i): v for k, v in feats.items()}
+                    d = self.per_teacher_losses[i](s_feats, t_feats, gt,
+                                                   step, rng=shuffle_rng)
+                    (val,) = d.values()
+                    return jnp.asarray(val, jnp.float32)
+                return f
+
+            val = jax.lax.switch(
+                idx, [_branch(i) for i in range(len(self.teachers))], None)
+            d_losses = {'loss_random': val}
+        else:
+            t_feats = {}
+            for i, (teacher, tvars) in enumerate(
+                    zip(self.teachers, teacher_vars_list)):
+                feats = teacher.forward_feats(
+                    jax.lax.stop_gradient(tvars), img, train=False)
+                t_feats.update({k + str(i): v for k, v in feats.items()})
+            d_losses = self.distillation_loss(s_feats, t_feats, gt, step,
+                                              rng=shuffle_rng)
         losses.update(d_losses)
         return losses, new_state
 

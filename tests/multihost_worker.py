@@ -89,15 +89,64 @@ def main():
                                   batch['gt'])
         losses.append(float(jax.device_get(log_vars['loss'])))
 
-    # histogram allgather (fast_evaluate's reduction, apis/test.py)
-    from jax.experimental import multihost_utils
-    local_hist = np.arange(8, dtype=np.float32) + 100 * pid
-    if num_procs > 1:
-        summed = multihost_utils.process_allgather(local_hist).sum(axis=0)
-    else:
-        summed = local_hist
+    # ---- the REAL fast_evaluate path at world>1 (VERDICT r2 Next #7):
+    # every host builds an identical pseudo dataset; multi_device_test
+    # shards the index space, histograms are process_allgathered, and the
+    # result must equal a full single-host evaluation
+    import tempfile
+
+    import cv2
+    from segdistill_tpu.apis.test import fast_evaluate, single_device_test
+    from segdistill_tpu.core.evaluation import (intersect_and_union,
+                                                metrics_from_histograms)
+    from segdistill_tpu.datasets import build_dataset
+
+    root = tempfile.mkdtemp(prefix=f'pseudo_eval_{pid}_')
+    os.makedirs(f'{root}/img')
+    os.makedirs(f'{root}/ann')
+    drs = np.random.RandomState(11)  # same content on every host
+    for i in range(5):
+        cv2.imwrite(f'{root}/img/s{i}.jpg',
+                    drs.randint(0, 255, (40, 40, 3), np.uint8))
+        cv2.imwrite(f'{root}/ann/s{i}.png',
+                    drs.randint(0, 7, (40, 40)).astype(np.uint8))
+    norm = dict(mean=[123.675, 116.28, 103.53],
+                std=[58.395, 57.12, 57.375], to_rgb=True)
+    dataset = build_dataset(dict(
+        type='CustomDataset', img_dir=f'{root}/img', ann_dir=f'{root}/ann',
+        img_suffix='.jpg', seg_map_suffix='.png',
+        classes=tuple('abcdefg'), palette=[[i] * 3 for i in range(7)],
+        test_mode=True,
+        pipeline=[
+            dict(type='LoadImageFromFile'),
+            dict(type='MultiScaleFlipAug', img_scale=(40, 40), flip=False,
+                 transforms=[
+                     dict(type='AlignedResize', keep_ratio=True,
+                          size_divisor=32),
+                     dict(type='Normalize', **norm),
+                     dict(type='ImageToTensor', keys=['img']),
+                     dict(type='Collect', keys=['img']),
+                 ])]))
+    svars = jax.device_get(variables['student'])
+    res = fast_evaluate(model, svars, dataset)
+
+    # local oracle: full pass over every image on this host alone
+    preds = single_device_test(model, svars, dataset, progress=False)
+    gts = list(dataset.get_gt_seg_maps())
+    total = [np.zeros(7, np.float64) for _ in range(4)]
+    for pred, gt in zip(preds, gts):
+        quad = intersect_and_union(
+            pred, gt, 7, 255, label_map=dataset.label_map,
+            reduce_zero_label=dataset.reduce_zero_label)
+        for t, q in zip(total, quad):
+            t += q
+    all_acc, acc, iou = metrics_from_histograms(
+        total[0], total[1], total[2], total[3], ('mIoU',))
+    local = {'mIoU': float(np.nanmean(iou)),
+             'mAcc': float(np.nanmean(acc)), 'aAcc': float(all_acc)}
+
     print(json.dumps({'pid': pid, 'losses': losses,
-                      'hist': summed.tolist()}))
+                      'eval': res, 'eval_local': local}))
 
 
 if __name__ == '__main__':

@@ -7,6 +7,9 @@ from segdistill_tpu.apis.test import single_device_test
 from segdistill_tpu.datasets import build_dataset
 from segdistill_tpu.models import build_segmentor
 
+# compile-heavy on the 1-core CI box -> slow tier (fast tier = <3 min signal)
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope='module')
 def pseudo(tmp_path_factory):

@@ -4,11 +4,15 @@ apis/train.py:129-136 — schedules must survive resume)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from segdistill_tpu.engine import (build_lr_schedule, build_optimizer,
                                    build_train_step, create_train_state,
                                    load_checkpoint, save_checkpoint)
 from segdistill_tpu.models import build_segmentor
+
+# compile-heavy on the 1-core CI box -> slow tier (fast tier = <3 min signal)
+pytestmark = pytest.mark.slow
 
 NORM = dict(type='BN')
 

@@ -50,8 +50,13 @@ def test_config_builds(config_path):
     _strip_pretrained(model_cfg)
     model = build_segmentor(model_cfg, train_cfg=cfg.get('train_cfg'),
                             test_cfg=cfg.get('test_cfg'))
-    assert model.num_classes == 150
-    # the training recipe keys exist
     assert cfg.optimizer['type'] in ('AdamW', 'SGD')
+    if osp.relpath(config_path, CFG_ROOT).startswith('extra' + osp.sep):
+        # extras (pointrend/psanet/cityscapes-slide) set their own
+        # dataset/schedule; just require a consistent build
+        assert model.num_classes in (19, 150)
+        return
+    assert model.num_classes == 150
+    # the KD-matrix training recipe keys exist
     assert cfg.runner['max_iters'] == 160000
     assert cfg.data['train']['type'] == 'RepeatDataset'

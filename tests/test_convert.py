@@ -11,6 +11,9 @@ import jax
 from segdistill_tpu.convert import translate_state_dict
 from segdistill_tpu.models import build_segmentor
 
+# compile-heavy on the 1-core CI box -> slow tier (fast tier = <3 min signal)
+pytestmark = pytest.mark.slow
+
 
 def _save_state_dict(tmp_path, sd):
     path = str(tmp_path / 'ckpt.pth')

@@ -6,6 +6,9 @@ import pytest
 
 from segdistill_tpu.data import DeviceAugPipeline, PrepareCanvas
 
+# compile-heavy on the 1-core CI box -> slow tier (fast tier = <3 min signal)
+pytestmark = pytest.mark.slow
+
 
 def _canvas_batch(b=2, ch=64, cw=128, vh=48, vw=96, seed=0):
     rng = np.random.RandomState(seed)

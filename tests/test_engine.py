@@ -12,6 +12,9 @@ from segdistill_tpu.engine import (build_lr_schedule, build_optimizer,
 from segdistill_tpu.models import build_segmentor
 from segdistill_tpu.parallel import create_mesh, replicate, shard_batch
 
+# compile-heavy on the 1-core CI box -> slow tier (fast tier = <3 min signal)
+pytestmark = pytest.mark.slow
+
 NORM = dict(type='SyncBN', requires_grad=True)
 
 

@@ -3,10 +3,14 @@ pytorch2onnx.py:19-146 role): export, serialize, deserialize, and check
 the round-tripped artifact computes the same maps."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
 from segdistill_tpu.models import build_segmentor
+
+# compile-heavy on the 1-core CI box -> slow tier (fast tier = <3 min signal)
+pytestmark = pytest.mark.slow
 
 
 def _tiny_cfg():

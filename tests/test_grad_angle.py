@@ -4,10 +4,14 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from segdistill_tpu.engine import (build_lr_schedule, build_optimizer,
                                    build_train_step, create_train_state)
 from segdistill_tpu.models import build_segmentor
+
+# compile-heavy on the 1-core CI box -> slow tier (fast tier = <3 min signal)
+pytestmark = pytest.mark.slow
 
 NORM = dict(type='BN')
 

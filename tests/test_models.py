@@ -9,6 +9,9 @@ from segdistill_tpu.models import (build_backbone, build_head,
                                    build_segmentor)
 from segdistill_tpu.models.segmentors import flatten_feats
 
+# compile-heavy on the 1-core CI box -> slow tier (fast tier = <3 min signal)
+pytestmark = pytest.mark.slow
+
 NORM = dict(type='SyncBN', requires_grad=True)
 
 

@@ -58,6 +58,16 @@ def test_two_process_training_matches_single():
     # (GSPMD reduction order differs -> fp tolerance)
     np.testing.assert_allclose(multi[0]['losses'], single[0]['losses'],
                                rtol=2e-4)
-    # histogram allgather: sum of [0..7] + [100..107]
-    want = np.arange(8) * 2.0 + 100
-    np.testing.assert_allclose(multi[0]['hist'], want)
+    # the REAL fast_evaluate at world=2: index space sharded across the
+    # processes, histograms allgathered — both ranks report identical
+    # metrics, and they equal each rank's full local evaluation
+    for rank in (0, 1):
+        for key in ('mIoU', 'mAcc', 'aAcc'):
+            np.testing.assert_allclose(multi[rank]['eval'][key],
+                                       multi[rank]['eval_local'][key],
+                                       rtol=1e-6, err_msg=f'{rank}/{key}')
+    assert multi[0]['eval'] == multi[1]['eval']
+    # world=1 degenerate path agrees too
+    for key in ('mIoU', 'mAcc', 'aAcc'):
+        np.testing.assert_allclose(single[0]['eval'][key],
+                                   single[0]['eval_local'][key], rtol=1e-6)

@@ -8,6 +8,9 @@ import pytest
 
 from segdistill_tpu.ops.pallas import fused_group_kl, group_kl_reference
 
+# compile-heavy on the 1-core CI box -> slow tier (fast tier = <3 min signal)
+pytestmark = pytest.mark.slow
+
 
 def _data(b=2, c=7, h=8, w=8, seed=0):
     rng = np.random.RandomState(seed)

@@ -11,6 +11,9 @@ from segdistill_tpu.models.losses.cross_entropy_loss import (
 from segdistill_tpu.models.losses.lovasz_loss import (LovaszLoss,
                                                       lovasz_hinge)
 
+# compile-heavy on the 1-core CI box -> slow tier (fast tier = <3 min signal)
+pytestmark = pytest.mark.slow
+
 
 def test_mask_cross_entropy_vs_torch():
     torch = pytest.importorskip('torch')

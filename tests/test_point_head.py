@@ -11,6 +11,9 @@ from segdistill_tpu.models import build_head, build_segmentor
 from segdistill_tpu.models.decode_heads.point_head import (
     calculate_uncertainty, point_sample)
 
+# compile-heavy on the 1-core CI box -> slow tier (fast tier = <3 min signal)
+pytestmark = pytest.mark.slow
+
 
 def test_point_sample_matches_torch_grid_sample():
     torch = pytest.importorskip('torch')

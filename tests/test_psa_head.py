@@ -10,6 +10,9 @@ import pytest
 from segdistill_tpu.models import build_head
 from segdistill_tpu.models.decode_heads.psa_head import psa_mask
 
+# compile-heavy on the 1-core CI box -> slow tier (fast tier = <3 min signal)
+pytestmark = pytest.mark.slow
+
 
 def naive_collect(y, mask_h, mask_w):
     """out[n, s, t] = y[n, rel(s, t), t] inside the window, else 0

@@ -7,6 +7,9 @@ import pytest
 
 from segdistill_tpu.models import build_segmentor
 
+# compile-heavy on the 1-core CI box -> slow tier (fast tier = <3 min signal)
+pytestmark = pytest.mark.slow
+
 NORM = dict(type='BN')
 
 

@@ -23,6 +23,9 @@ import jax.numpy as jnp
 from segdistill_tpu.convert.torch_loader import load_pth_into_variables
 from segdistill_tpu.models import build_segmentor
 
+# compile-heavy on the 1-core CI box -> slow tier (fast tier = <3 min signal)
+pytestmark = pytest.mark.slow
+
 NORM = dict(type='SyncBN', requires_grad=True)
 
 
