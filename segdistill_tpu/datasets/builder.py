@@ -169,6 +169,21 @@ class DataLoader:
         return default_collate(samples)
 
     def __iter__(self):
+        # eager (non-generator) so the empty-epoch check raises at iter()
+        # time, not at the first next()
+        n = len(self.dataset)
+        global_batch = self.batch_size * self.world
+        if self.drop_last and n < global_batch:
+            # would yield ZERO batches per epoch — the producer would spin
+            # through empty epochs forever while the consumer blocks
+            raise ValueError(
+                f'dataset has {n} samples but the global batch is '
+                f'{global_batch} ({self.batch_size}/host x {self.world} '
+                f'host(s)) with drop_last=True: no full batch can ever '
+                f'be formed. Lower samples_per_gpu or grow the dataset.')
+        return self._iterate()
+
+    def _iterate(self):
         q = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 

@@ -1,0 +1,167 @@
+"""CLI end-to-end: tools/train.py -> resume -> tools/test.py
+(VERDICT r2, Missing #3 / Next #4).
+
+The reference's entire user surface is ``dist_train.sh -> train.py ->
+runner -> test.py`` (ref tools/train.py:63-163, test.py:66-166). This test
+subprocesses the real CLIs on a generated pseudo dataset: 8 training
+iterations of CGD distillation, checkpointing, a mid-training eval, a
+RESUME continuing the step counter (the reference's ``model.cnt =
+runner.iter`` semantics, ref apis/train.py:136 — our schedules are pure in
+the step, so resume-correctness == the runner restoring ``state.step``),
+and finally ``test.py --eval mIoU`` printing a per-class table.
+"""
+
+import os
+import os.path as osp
+import subprocess
+import sys
+import textwrap
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
+
+
+def _make_pseudo(root):
+    import cv2
+    rs = np.random.RandomState(0)
+    for split, n in (('train', 8), ('val', 3)):
+        os.makedirs(f'{root}/img/{split}')
+        os.makedirs(f'{root}/ann/{split}')
+        for i in range(n):
+            cv2.imwrite(f'{root}/img/{split}/s{i}.jpg',
+                        rs.randint(0, 255, (64, 64, 3), np.uint8))
+            # ADE-style: 0 = unlabeled (reduce_zero_label), 1..5 = classes
+            cv2.imwrite(f'{root}/ann/{split}/s{i}.png',
+                        rs.randint(0, 6, (64, 64)).astype(np.uint8))
+
+
+def _write_config(path, root, work_dir):
+    enc = """dict(
+        type='EncoderDecoder',
+        backbone=dict(type='mit_b0', drop_path_rate=0.0),
+        decode_head=dict(
+            type='SegFormerHead', in_channels=[32, 64, 160, 256],
+            in_index=[0, 1, 2, 3], feature_strides=[4, 8, 16, 32],
+            channels=32, dropout_ratio=0.1, num_classes=5,
+            norm_cfg=dict(type='SyncBN', requires_grad=True),
+            align_corners=False, decoder_params=dict(embed_dim=32)))"""
+    ds = """dict(
+        type='CustomDataset', data_root='{root}',
+        img_dir='img/{split}', ann_dir='ann/{split}',
+        img_suffix='.jpg', seg_map_suffix='.png',
+        classes=('a', 'b', 'c', 'd', 'e'),
+        palette=[[i * 40] * 3 for i in range(5)],
+        reduce_zero_label=True, pipeline={pipe})"""
+    cfg = textwrap.dedent(f"""
+        img_norm_cfg = dict(mean=[123.675, 116.28, 103.53],
+                            std=[58.395, 57.12, 57.375], to_rgb=True)
+        crop_size = (64, 64)
+        train_pipeline = [
+            dict(type='LoadImageFromFile'),
+            dict(type='LoadAnnotations', reduce_zero_label=True),
+            dict(type='Resize', img_scale=(64, 64), ratio_range=(0.75, 1.25)),
+            dict(type='RandomCrop', crop_size=crop_size, cat_max_ratio=0.9),
+            dict(type='RandomFlip', prob=0.5),
+            dict(type='Normalize', **img_norm_cfg),
+            dict(type='Pad', size=crop_size, pad_val=0, seg_pad_val=255),
+            dict(type='DefaultFormatBundle'),
+            dict(type='Collect', keys=['img', 'gt_semantic_seg']),
+        ]
+        test_pipeline = [
+            dict(type='LoadImageFromFile'),
+            dict(type='MultiScaleFlipAug', img_scale=(64, 64), flip=False,
+                 transforms=[
+                     dict(type='AlignedResize', keep_ratio=True,
+                          size_divisor=32),
+                     dict(type='Normalize', **img_norm_cfg),
+                     dict(type='ImageToTensor', keys=['img']),
+                     dict(type='Collect', keys=['img']),
+                 ])]
+        model = dict(
+            type='SDModule',
+            cfg_s={enc},
+            cfg_t={enc},
+            distillation=[dict(student_layer='decode_head.linear_pred',
+                               teacher_layer='decode_head.linear_pred',
+                               loss_name='CGDLoss',
+                               loss_config=dict(group_size=2, alpha=3,
+                                                tau=2))],
+            train_cfg=dict(), test_cfg=dict(mode='whole'))
+        data = dict(
+            samples_per_gpu=2, workers_per_gpu=2,
+            train={ds.format(root=root, split='train',
+                             pipe='train_pipeline')},
+            val={ds.format(root=root, split='val', pipe='test_pipeline')},
+            test={ds.format(root=root, split='val', pipe='test_pipeline')})
+        optimizer = dict(type='SGD', lr=0.01, momentum=0.9,
+                         weight_decay=0.0005)
+        lr_config = dict(policy='poly', power=1.0, min_lr=1e-4,
+                         by_epoch=False)
+        runner = dict(type='IterBasedRunner', max_iters=8)
+        checkpoint_config = dict(interval=4, max_keep_ckpts=2)
+        evaluation = dict(interval=4, metric='mIoU')
+        log_config = dict(interval=2, hooks=[dict(type='TextLoggerHook')])
+        work_dir = '{work_dir}'
+        workflow = [('train', 1)]
+        """)
+    with open(path, 'w') as f:
+        f.write(cfg)
+
+
+def _run_cli(script, *args, timeout=1500):
+    """JAX_COMPILATION_CACHE_DIR must NOT be set on the CPU backend here:
+    persisting CPU executables wedges the compile thread indefinitely on
+    this box (observed: 25 min without finishing a 20 s compile). The
+    cache is a TPU-run optimization only."""
+    env = dict(os.environ)
+    env['JAX_PLATFORMS'] = 'cpu'
+    env['PYTHONPATH'] = REPO
+    env.pop('JAX_COMPILATION_CACHE_DIR', None)
+    # conftest exports an 8-virtual-device XLA_FLAGS for in-process mesh
+    # tests; the CLI must see a plain 1-device host
+    env.pop('XLA_FLAGS', None)
+    proc = subprocess.run(
+        [sys.executable, osp.join(REPO, 'tools', script), *args],
+        capture_output=True, text=True, timeout=timeout, env=env)
+    assert proc.returncode == 0, (
+        f'{script} failed:\nSTDOUT:{proc.stdout[-2000:]}\n'
+        f'STDERR:{proc.stderr[-4000:]}')
+    return proc.stdout + proc.stderr
+
+
+def test_cli_train_resume_test(tmp_path):
+    root = str(tmp_path / 'data')
+    work = str(tmp_path / 'work')
+    cfg_path = str(tmp_path / 'tiny_cgd.py')
+    _make_pseudo(root)
+    _write_config(cfg_path, root, work)
+
+    # ---- phase 1: 8 iterations with mid-training eval + checkpoints ----
+    out = _run_cli('train.py', cfg_path, '--work-dir', work, '--seed', '42')
+    assert 'decode.loss_seg' in out
+    assert 'linear_pred<->decode_head.linear_pred' in out  # distill key
+    assert 'Eval at iter 4' in out
+    assert 'Saved checkpoint at iter 8' in out
+    assert osp.isdir(osp.join(work, 'checkpoints'))
+
+    # ---- phase 2: resume continues the step counter (and therefore the
+    # step-keyed loss schedules: the ref model.cnt semantics) ----
+    out2 = _run_cli('train.py', cfg_path, '--work-dir', work,
+                    '--resume-from', work, '--seed', '42',
+                    '--options', 'runner.max_iters=12')
+    assert 'resume: ok' in out2
+    assert 'iter 8 -> 12' in out2, out2[-2000:]
+    assert 'Saved checkpoint at iter 12' in out2
+
+    # ---- phase 3: test.py --eval mIoU prints a per-class table ----
+    out3 = _run_cli('test.py', cfg_path, work, '--eval', 'mIoU')
+    assert 'per class results' in out3
+    assert 'mIoU' in out3
+    # all five classes present in the table
+    for cls in ('a', 'b', 'c', 'd', 'e'):
+        assert any(line.strip().startswith(cls)
+                   for line in out3.splitlines()), f'class {cls} missing'

@@ -178,3 +178,23 @@ def test_loader_different_seed_differs(tmp_path):
         return next(iter(loader))
 
     assert not np.array_equal(batch0(1)['img'], batch0(2)['img'])
+
+
+def test_loader_rejects_dataset_smaller_than_global_batch():
+    """drop_last with dataset < global batch would otherwise make the
+    producer spin through empty epochs forever (found via a hung CLI
+    e2e run under the 8-virtual-device test env)."""
+    from segdistill_tpu.datasets.builder import DataLoader
+
+    class Tiny:
+        def __len__(self):
+            return 3
+
+        def __getitem__(self, i):
+            return {'img': np.zeros((2, 2, 3), np.float32)}
+
+    loader = DataLoader(Tiny(), samples_per_gpu=4, num_workers=1,
+                        shuffle=True, seed=0, drop_last=True,
+                        process_index=0, process_count=2)
+    with pytest.raises(ValueError, match='global batch'):
+        iter(loader)

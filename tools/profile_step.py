@@ -26,6 +26,10 @@ def parse_args():
     parser.add_argument('--steps', type=int, default=5)
     parser.add_argument('--batch', type=int, default=8)
     parser.add_argument('--crop', type=int, default=512)
+    parser.add_argument('--report', action='store_true',
+                        help='parse the xplane proto and print per-op '
+                             'costs (works over the axon tunnel)')
+    parser.add_argument('--top', type=int, default=30)
     return parser.parse_args()
 
 
@@ -80,6 +84,58 @@ def main():
         jax.block_until_ready(log_vars['loss'])
     print(f'trace written to {args.trace_dir} '
           f'(view with tensorboard or xprof)')
+    if args.report:
+        report_xplane(args.trace_dir, args.steps, args.top)
+
+
+def report_xplane(trace_dir, steps, top=30):
+    """Parse the xplane proto directly and print per-step XLA-op costs —
+    the only profiling readout that works over the axon tunnel
+    (docs/perf.md 'Profiling method')."""
+    import collections
+    import glob
+
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    paths = sorted(glob.glob(
+        f'{trace_dir}/**/*.xplane.pb', recursive=True))
+    if not paths:
+        print('no xplane.pb found under', trace_dir)
+        return
+    space = xplane_pb2.XSpace()
+    with open(paths[-1], 'rb') as f:
+        space.ParseFromString(f.read())
+
+    per_op = collections.Counter()
+    per_category = collections.Counter()
+    total_ps = 0
+    for plane in space.planes:
+        if 'TPU' not in plane.name and 'Device' not in plane.name:
+            continue
+        stats_meta = {i: m.name for i, m in plane.stat_metadata.items()}
+        for line in plane.lines:
+            if line.name != 'XLA Ops':
+                continue
+            ev_meta = {i: m.name for i, m in plane.event_metadata.items()}
+            for ev in line.events:
+                name = ev_meta.get(ev.metadata_id, '?')
+                dur = ev.duration_ps
+                total_ps += dur
+                per_op[name] += dur
+                cat = 'other'
+                for st in ev.stats:
+                    if stats_meta.get(st.metadata_id) == 'category':
+                        cat = st.str_value or 'other'
+                per_category[cat] += dur
+    ms = 1e-9  # ps -> ms
+    print(f'\ntotal XLA-op time: {total_ps * ms:.2f} ms over {steps} steps '
+          f'({total_ps * ms / steps:.2f} ms/step)')
+    print(f'\n-- by category (ms/step) --')
+    for cat, ps in per_category.most_common(15):
+        print(f'{ps * ms / steps:9.3f}  {cat}')
+    print(f'\n-- top {top} ops (ms/step) --')
+    for name, ps in per_op.most_common(top):
+        print(f'{ps * ms / steps:9.3f}  {name[:110]}')
 
 
 if __name__ == '__main__':

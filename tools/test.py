@@ -2,10 +2,17 @@
 """Evaluation CLI (ref contract: tools/test.py)."""
 
 import argparse
+import os
 import os.path as osp
 import sys
 
 sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
+# honor an explicit JAX_PLATFORMS env even where a site hook registers an
+# accelerator at interpreter startup (see tools/train.py)
+if os.environ.get('JAX_PLATFORMS'):
+    import jax
+    jax.config.update('jax_platforms', os.environ['JAX_PLATFORMS'])
 
 from segdistill_tpu import Config, DictAction
 from segdistill_tpu.apis import fast_evaluate, single_device_test

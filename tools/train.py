@@ -15,6 +15,13 @@ import time
 
 sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
+# honor an explicit JAX_PLATFORMS env even where a site hook registers an
+# accelerator at interpreter startup (the env var alone is ignored there;
+# config.update works until the first backend use — see tests/conftest.py)
+if os.environ.get('JAX_PLATFORMS'):
+    import jax
+    jax.config.update('jax_platforms', os.environ['JAX_PLATFORMS'])
+
 from segdistill_tpu import Config, DictAction
 from segdistill_tpu.apis import set_random_seed, train_segmentor
 from segdistill_tpu.datasets import build_dataset
