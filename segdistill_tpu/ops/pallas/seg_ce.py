@@ -13,7 +13,9 @@ block + one channel tile instead of a whole-C phase plane (which blew the
 128MB v5e VMEM).
 
 Custom VJP: ``dz_source = unshift(w * (softmax(z) - onehot(y)) * valid *
-scale)``, recomputed tile-by-tile from the same statistics.
+scale)``, recomputed tile-by-tile from the per-phase (max, exp-sum) planes
+the forward saves as residuals (B x P x h x w fp32 — ~17 MB at ADE scale;
+storing them removes the backward's whole stats pass).
 
 Semantics preserved exactly (SURVEY §7 hard part (b)): the CE sum is
 divided by the TOTAL pixel count outside (ignored pixels count in the
@@ -52,7 +54,7 @@ def _pad_channels(z, ct):
 
 
 def _fwd_kernel(taps_h, taps_w, n_tiles, num_classes, ignore_index,
-                z_ref, y_ref, ce_ref, correct_ref):
+                z_ref, y_ref, ce_ref, correct_ref, m_ref, se_ref):
     ct = _CTILE
     ce_sum = jnp.float32(0.0)
     correct = jnp.float32(0.0)
@@ -93,13 +95,17 @@ def _fwd_kernel(taps_h, taps_w, n_tiles, num_classes, ignore_index,
             lse = m + jnp.log(se)
             ce_sum += jnp.sum(jnp.where(valid, lse - z_y, 0.0))
             correct += jnp.sum(((best == y) & valid).astype(jnp.float32))
+            # per-phase softmax stats become VJP residuals so the backward
+            # kernel skips its whole stats pass (~40% of bwd time)
+            m_ref[0, pi] = m
+            se_ref[0, pi] = se
             pi += 1
     ce_ref[0, 0, 0] = ce_sum
     correct_ref[0, 0, 0] = correct
 
 
 def _bwd_kernel(taps_h, taps_w, n_tiles, num_classes, ignore_index,
-                scale_ref, z_ref, y_ref, dz_ref, acc_ref):
+                scale_ref, z_ref, y_ref, m_ref, se_ref, dz_ref, acc_ref):
     ct = _CTILE
     scale = scale_ref[0, 0]
     # fp32 VMEM scratch accumulates across phases/tiles; the output block
@@ -114,21 +120,10 @@ def _bwd_kernel(taps_h, taps_w, n_tiles, num_classes, ignore_index,
             y_safe = jnp.where(valid, y, 0)
             vs = valid.astype(jnp.float32) * scale
 
-            # online softmax: one stats pass instead of max + exp-sum
-            def statloop(t, carry):
-                m, se = carry
-                zt = z_ref[0, pl.ds(t * ct, ct)].astype(jnp.float32)
-                plane = _lerp_axis(_lerp_axis(zt, dh, fh, 1), dw, fw, 2)
-                m_new = jnp.maximum(m, jnp.max(plane, axis=0))
-                se = se * jnp.exp(m - m_new) + jnp.sum(
-                    jnp.exp(plane - m_new[None]), axis=0)
-                return m_new, se
-
-            m, se = jax.lax.fori_loop(
-                0, n_tiles, statloop,
-                (jnp.full(y.shape, -jnp.inf, jnp.float32),
-                 jnp.zeros(y.shape, jnp.float32)))
-            inv_se = 1.0 / se
+            # per-phase softmax stats are residuals saved by the forward
+            # kernel — no stats recompute pass here
+            m = m_ref[0, pi]
+            inv_se = 1.0 / se_ref[0, pi]
 
             def gradloop(t, _):
                 zt = z_ref[0, pl.ds(t * ct, ct)].astype(jnp.float32)
@@ -168,8 +163,10 @@ def can_use_fused_ce(logits_shape, out_hw, align_corners=False):
     if (H // h) * (W // w) > 256:
         return False
     c_pad = c + (-c) % _CTILE
-    # source block + grad accumulator + a few tile temporaries
-    if (2 * c_pad + 8 * _CTILE) * h * w * 4 > 90 * 1024 * 1024:
+    n_phase = (H // h) * (W // w)
+    # source block + grad accumulator + saved stats planes + temporaries
+    if (2 * c_pad + 4 * n_phase + 8 * _CTILE) * h * w * 4 \
+            > 90 * 1024 * 1024:
         return False
     try:
         return jax.default_backend() == 'tpu'
@@ -199,13 +196,14 @@ def _fwd(logits, labels, out_hw, num_classes, ignore_index, interpret):
     y = _phase_labels(labels.astype(jnp.int32), rh, rw)
     kernel = functools.partial(_fwd_kernel, taps_h, taps_w, n_tiles,
                                num_classes, ignore_index)
-    ce, correct = pl.pallas_call(
+    n_phase = rh * rw
+    ce, correct, m_planes, se_planes = pl.pallas_call(
         kernel,
         grid=(b,),
         in_specs=[
             pl.BlockSpec((1, c, h, w), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rh * rw, h, w), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((1, n_phase, h, w), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -213,20 +211,27 @@ def _fwd(logits, labels, out_hw, num_classes, ignore_index, interpret):
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, n_phase, h, w), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_phase, h, w), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, 1, 1), jnp.float32),
             jax.ShapeDtypeStruct((b, 1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, n_phase, h, w), jnp.float32),
+            jax.ShapeDtypeStruct((b, n_phase, h, w), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(z, y)
-    return (jnp.sum(ce), jnp.sum(correct)), (logits, labels)
+    return ((jnp.sum(ce), jnp.sum(correct)),
+            (logits, labels, m_planes, se_planes))
 
 
 def _bwd(out_hw, num_classes, ignore_index, interpret, residuals, gbar):
-    logits, labels = residuals
+    logits, labels, m_planes, se_planes = residuals
     g_ce = gbar[0]  # cotangent of ce_sum (correct count: no gradient)
     # keep the input dtype (bf16 halves kernel HBM traffic); every tile is
     # upcast to fp32 in-register inside the kernel, so values are identical
@@ -240,6 +245,7 @@ def _bwd(out_hw, num_classes, ignore_index, interpret, residuals, gbar):
     scale = g_ce.astype(jnp.float32).reshape(1, 1)
     kernel = functools.partial(_bwd_kernel, taps_h, taps_w, n_tiles,
                                num_classes, ignore_index)
+    n_phase = rh * rw
     dz = pl.pallas_call(
         kernel,
         grid=(b,),
@@ -248,7 +254,11 @@ def _bwd(out_hw, num_classes, ignore_index, interpret, residuals, gbar):
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, c, h, w), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rh * rw, h, w), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((1, n_phase, h, w), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_phase, h, w), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_phase, h, w), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, c, h, w), lambda i: (i, 0, 0, 0),
@@ -258,7 +268,7 @@ def _bwd(out_hw, num_classes, ignore_index, interpret, residuals, gbar):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(scale, z, y)
+    )(scale, z, y, m_planes, se_planes)
     dz = dz[:, :logits.shape[1]]
     return dz.astype(logits.dtype), jnp.zeros_like(labels)
 
