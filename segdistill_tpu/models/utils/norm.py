@@ -50,3 +50,37 @@ class NormLayer(nn.Module):
 
 def build_norm_layer(norm_cfg, dtype=jnp.float32, name=None):
     return NormLayer(norm_cfg=norm_cfg, dtype=dtype, name=name)
+
+
+class FusedLayerNorm(nn.Module):
+    """Drop-in for ``nn.LayerNorm`` that dispatches to the single-pass
+    Pallas kernel on TPU for lane-starved widths (C <= 128 — MiT stages
+    1-2 run C in {32..128}; see ops/pallas/layer_norm.py). Param names
+    ('scale', 'bias') match nn.LayerNorm so checkpoints, converters and
+    the paramwise optimizer rules are unaffected.
+
+    Fallback path = fp32 statistics, output in the activation dtype —
+    the same numerics contract as ``nn.LayerNorm(dtype=...)``."""
+    epsilon: float = 1e-6
+    dtype: jnp.dtype = None
+
+    @nn.compact
+    def __call__(self, x):
+        import jax
+
+        c = x.shape[-1]
+        scale = self.param('scale', nn.initializers.ones, (c,),
+                           jnp.float32)
+        bias = self.param('bias', nn.initializers.zeros, (c,), jnp.float32)
+        dtype = self.dtype or x.dtype
+        x = x.astype(dtype)
+        from ...ops.pallas.layer_norm import (fused_layer_norm,
+                                              use_fused_layer_norm)
+        if use_fused_layer_norm(x.shape, c):
+            return fused_layer_norm(x, scale, bias, float(self.epsilon))
+        xf = x.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+        y = (xf - mu) * jax.lax.rsqrt(var + self.epsilon)
+        y = y * scale + bias
+        return y.astype(dtype)
