@@ -22,6 +22,7 @@ from typing import Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
+from ...ops.dwconv import DepthwiseConv2d
 from ..builder import BACKBONES
 from ..utils import DropPath, trunc_normal_init
 
@@ -30,15 +31,30 @@ _F32 = jnp.float32
 
 
 class DWConv(nn.Module):
-    """3x3 depthwise conv mixing inside the MLP (ref: mix_transformer.py:376-387)."""
+    """3x3 depthwise conv mixing inside the MLP (ref: mix_transformer.py:376-387).
+
+    ``backend`` picks the forward form (params identical either way —
+    see ops/dwconv.py):
+    * fp32 always takes the tap sum (XLA's fp32 grouped-conv lowering is
+      pathological on TPU: 2.6x whole-step, docs/perf.md round 3);
+    * 'auto' additionally taps deterministic bf16 (standalone inference:
+      +9% fps measured);
+    * 'conv'/'tap' force the bf16 choice — SDModule builds its teachers
+      with 'conv' because inside the train step the conv forward overlaps
+      better with the student's backward (measured 201 vs 191 imgs/s).
+    """
     dim: int
+    backend: str = 'auto'
 
     @nn.compact
-    def __call__(self, x, H, W):
+    def __call__(self, x, H, W, deterministic=True):
         B, N, C = x.shape
         x = x.reshape(B, H, W, C)
-        x = nn.Conv(self.dim, (3, 3), padding=1, feature_group_count=self.dim,
-                    use_bias=True, dtype=x.dtype, name='dwconv')(x)
+        use_tap = (x.dtype == jnp.float32 or self.backend == 'tap'
+                   or (self.backend == 'auto' and deterministic))
+        x = DepthwiseConv2d(self.dim, (3, 3), (1, 1), (1, 1),
+                            use_bias=True, dtype=x.dtype,
+                            use_tap=use_tap, name='dwconv')(x)
         return x.reshape(B, H * W, C)
 
 
@@ -47,12 +63,14 @@ class Mlp(nn.Module):
     out_features: int
     drop: float = 0.0
     gelu_approximate: bool = True
+    dwconv_backend: str = 'auto'
 
     @nn.compact
     def __call__(self, x, H, W, deterministic=True):
         x = nn.Dense(self.hidden_features, dtype=x.dtype,
                      kernel_init=trunc_normal_init(), name='fc1')(x)
-        x = DWConv(self.hidden_features, name='dwconv')(x, H, W)
+        x = DWConv(self.hidden_features, backend=self.dwconv_backend,
+                   name='dwconv')(x, H, W, deterministic=deterministic)
         # tanh-GELU: erf lowers to a slow transcendental chain on the TPU
         # VPU and measured 3.6x slower whole-model (B3 fwd 135ms -> 37ms);
         # |tanh-erf| GELU delta <= 3e-3, below bf16 rounding. Set
@@ -147,6 +165,7 @@ class Block(nn.Module):
     sr_ratio: int = 1
     gelu_approximate: bool = True
     fused_attention: bool = False
+    dwconv_backend: str = 'auto'
 
     @nn.compact
     def __call__(self, x, H, W, deterministic=True):
@@ -162,6 +181,7 @@ class Block(nn.Module):
         h = nn.LayerNorm(epsilon=1e-6, dtype=x.dtype, name='norm2')(x)
         h = Mlp(int(self.dim * self.mlp_ratio), self.dim, drop=self.drop,
                 gelu_approximate=self.gelu_approximate,
+                dwconv_backend=self.dwconv_backend,
                 name='mlp')(h, H, W, deterministic=deterministic)
         x = x + DropPath(self.drop_path, name='drop_path2')(
             h, deterministic=deterministic)
@@ -202,6 +222,7 @@ class MixVisionTransformer(nn.Module):
     gelu_approximate: bool = True
     fused_attention: bool = False  # forward-only Pallas SRA (teachers)
     with_cp: bool = False  # gradient checkpointing per block (jax.remat)
+    dwconv_backend: str = 'auto'  # Mix-FFN depthwise form (see DWConv)
     dtype: jnp.dtype = jnp.float32
 
     # feature-tap path components needing list-index renames
@@ -240,6 +261,7 @@ class MixVisionTransformer(nn.Module):
                           sr_ratio=self.sr_ratios[s],
                           gelu_approximate=self.gelu_approximate,
                           fused_attention=self.fused_attention,
+                          dwconv_backend=self.dwconv_backend,
                           name=f'block{s + 1}_{i}')(x, H, W, det)
             x = nn.LayerNorm(epsilon=1e-6, dtype=x.dtype,
                              name=f'norm{s + 1}')(x)

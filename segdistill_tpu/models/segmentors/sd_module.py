@@ -22,6 +22,25 @@ from ..builder import SEGMENTORS
 from .base import BaseSegmentor
 
 
+def _teacher_perf_defaults(cfg_t):
+    """Perf defaults for the frozen teacher inside the train step.
+
+    A teacher MiT defaults its Mix-FFN depthwise to the 'conv' backend:
+    inside the jitted train step XLA overlaps the bf16 conv forward with
+    the student's backward better than the tap-sum form (measured 201 vs
+    191 imgs/s B0<-B3, docs/perf.md round 3; fp32 still taps regardless
+    — see ops/dwconv.py). Standalone inference keeps 'auto' (tap).
+    Explicit config values win.
+    """
+    bb = cfg_t.get('backbone')
+    if isinstance(bb, dict) and str(bb.get('type', '')).startswith('mit'):
+        bb = dict(bb)
+        bb.setdefault('dwconv_backend', 'conv')
+        cfg_t = dict(cfg_t)
+        cfg_t['backbone'] = bb
+    return cfg_t
+
+
 @SEGMENTORS.register_module()
 class SDModule(BaseSegmentor):
 
@@ -38,7 +57,8 @@ class SDModule(BaseSegmentor):
         cfg_t = dict(cfg_t)
         cfg_t['pretrained'] = None  # ref SD_structure.py:33
         self.teacher = builder.build_segmentor(
-            cfg_t, train_cfg=train_cfg, test_cfg=test_cfg)
+            _teacher_perf_defaults(cfg_t), train_cfg=train_cfg,
+            test_cfg=test_cfg)
 
         self.distillation_loss = DistillationLoss(self.distillation)
         self.student_layers, self.teacher_layers = \
@@ -153,7 +173,8 @@ class SDModuleMT(BaseSegmentor):
             c = dict(c)
             c['pretrained'] = None
             self.teachers.append(builder.build_segmentor(
-                c, train_cfg=train_cfg, test_cfg=test_cfg))
+                _teacher_perf_defaults(c), train_cfg=train_cfg,
+                test_cfg=test_cfg))
 
         # Two reference dispatch modes (DistillationLossMT, opts.py:184-209):
         # * aligned (len(features) == len(entries)): entry i pairs with

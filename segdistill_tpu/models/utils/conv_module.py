@@ -42,16 +42,29 @@ class ConvModule(nn.Module):
         d = to_2tuple(self.dilation)
         act = build_activation(self._act_cfg())
 
-        conv = nn.Conv(
-            features=self.out_channels,
-            kernel_size=k,
-            strides=s,
-            padding=[(p[0], p[0]), (p[1], p[1])],
-            kernel_dilation=d,
-            feature_group_count=self.groups,
-            use_bias=bool(use_bias),
-            dtype=x.dtype,
-            name='conv')
+        if self.groups > 1 and self.groups == x.shape[-1] \
+                and self.out_channels == self.groups:
+            # true depthwise: XLA's grouped-conv lowering is pathological
+            # on TPU (see ops/dwconv.py) — use the tap-sum form (param
+            # layout identical to nn.Conv)
+            from ...ops.dwconv import DepthwiseConv2d
+            import jax.numpy as jnp
+            use_tap = (not train) or x.dtype == jnp.float32
+            conv = DepthwiseConv2d(
+                self.out_channels, k, s, p, d,
+                use_bias=bool(use_bias), dtype=x.dtype,
+                use_tap=use_tap, name='conv')
+        else:
+            conv = nn.Conv(
+                features=self.out_channels,
+                kernel_size=k,
+                strides=s,
+                padding=[(p[0], p[0]), (p[1], p[1])],
+                kernel_dilation=d,
+                feature_group_count=self.groups,
+                use_bias=bool(use_bias),
+                dtype=x.dtype,
+                name='conv')
         # child named by norm kind ('bn'/'gn'/'ln'), matching the torch
         # ConvModule layout — keeps mmcv custom_keys substring rules (e.g.
         # 'norm': decay_mult 0) behaving exactly like the reference
