@@ -60,3 +60,35 @@ def test_config_builds(config_path):
     # the KD-matrix training recipe keys exist
     assert cfg.runner['max_iters'] == 160000
     assert cfg.data['train']['type'] == 'RepeatDataset'
+
+
+DATASET_BASES = sorted(glob.glob(osp.join(
+    osp.dirname(CFG_ROOT) if CFG_ROOT.endswith(osp.sep) else CFG_ROOT,
+    '_base_', 'datasets', '*.py')))
+
+
+def test_dataset_base_corpus_complete():
+    """All 15 reference dataset bases ship (ref local_configs/_base_/
+    datasets/: ade20k x2, cityscapes x4, mapillary x2, voc12 x2,
+    pascal_context, chase_db1, drive, hrf, stare)."""
+    names = {osp.basename(p) for p in DATASET_BASES}
+    expected = {
+        'ade20k.py', 'ade20k_repeat.py', 'cityscapes.py',
+        'cityscapes_repeat.py', 'cityscapes_768x768_repeat.py',
+        'cityscapes_1024x1024_repeat.py', 'mapillary_768x768_repeat.py',
+        'mapillary_1024x1024_repeat.py', 'pascal_voc12.py',
+        'pascal_voc12_aug.py', 'pascal_context.py', 'chase_db1.py',
+        'drive.py', 'hrf.py', 'stare.py'}
+    assert expected <= names, expected - names
+
+
+@pytest.mark.parametrize('base_path', DATASET_BASES,
+                         ids=[osp.basename(p) for p in DATASET_BASES])
+def test_dataset_base_pipelines_build(base_path):
+    from segdistill_tpu.datasets.pipelines import Compose
+    cfg = Config.fromfile(base_path)
+    train = cfg['data']['train']
+    inner = train.get('dataset', train)
+    Compose(inner['pipeline'])
+    Compose(cfg['data']['val']['pipeline'])
+    assert cfg['data']['samples_per_gpu'] >= 1

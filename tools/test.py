@@ -31,11 +31,17 @@ def parse_args():
                         help='multi-scale + flip TTA')
     parser.add_argument('--show-dir', help='dir to save painted results')
     parser.add_argument('--options', nargs='+', action=DictAction)
+    parser.add_argument('--multi-host', action='store_true',
+                        help='call jax.distributed.initialize() and use '
+                             'the sharded fast_evaluate path')
     return parser.parse_args()
 
 
 def main():
     args = parse_args()
+    if args.multi_host:
+        import jax
+        jax.distributed.initialize()
     cfg = Config.fromfile(args.config)
     if args.options is not None:
         cfg.merge_from_dict(args.options)
@@ -54,8 +60,14 @@ def main():
                                       input_shape=(1, 64, 64, 3))
     dataset = build_dataset(cfg.data['test'], dict(test_mode=True))
 
-    results = single_device_test(model, variables, dataset)
-    metrics = dataset.evaluate(results, metric=args.eval[0], logger=logger)
+    if args.multi_host:
+        # every host evaluates its shard; mIoU reduces via histogram psum
+        metrics = fast_evaluate(model, variables, dataset,
+                                metric=args.eval[0])
+    else:
+        results = single_device_test(model, variables, dataset)
+        metrics = dataset.evaluate(results, metric=args.eval[0],
+                                   logger=logger)
     logger.info(f'Eval results: {metrics}')
     print(metrics)
 
