@@ -56,6 +56,70 @@ def _jit_inference_to_ori(model):
     return compiled
 
 
+def _jit_tta_view(model):
+    """Device-side TTA view step, cached per (input shape, crop, ori,
+    flip axis, mode): inference -> crop padding -> bilinear resize to ori
+    -> fp32 softmax -> flip-undo -> add into the running probability
+    accumulator. The accumulator stays device-resident across views, so
+    the only device->host transfer per sample is the final argmax map
+    (vs one (ori_h, ori_w, C) fp32 logits plane per view on the host
+    path). Used for TTA samples whose view-shape signature repeats
+    (>= min group) so programs compile once per signature."""
+    import jax.numpy as jnp
+    from ..ops import resize
+
+    @functools.lru_cache(maxsize=None)
+    def compiled(shape, crop_hw, ori_hw, flip_axis, mode):
+        def fn(variables, img, acc):
+            if mode == 'slide':
+                logits = model.slide_inference(variables, img, None, False)
+            else:
+                logits = model.whole_inference(variables, img, None, False)
+            h, w = crop_hw
+            logits = logits[:, :h, :w]
+            logits = resize(logits, size=ori_hw, mode='bilinear',
+                            align_corners=model.align_corners,
+                            warning=False)
+            probs = jax.nn.softmax(logits[0].astype(jnp.float32), axis=-1)
+            if flip_axis is not None:
+                probs = jnp.flip(probs, axis=flip_axis)
+            return acc + probs
+        return jax.jit(fn)
+    return compiled
+
+
+def _tta_signature(imgs, metas):
+    """Hashable per-sample TTA layout: ori shape + per-view (net shape,
+    valid crop, flip axis). Samples sharing it share device programs."""
+    views = []
+    for img, meta in zip(imgs, metas):
+        flip_axis = None
+        if meta.get('flip', False):
+            flip_axis = 1 if meta.get('flip_direction',
+                                      'horizontal') == 'horizontal' else 0
+        views.append((tuple(np.asarray(img).shape),
+                      tuple(meta['img_shape'][:2]), flip_axis))
+    return (tuple(metas[0]['ori_shape'][:2]), tuple(views))
+
+
+def _predict_one_tta_device(model, variables, tta_compiled, imgs, metas,
+                            mode):
+    """TTA-average one sample fully on device -> (ori_h, ori_w) argmax."""
+    import jax.numpy as jnp
+    ori_hw = tuple(metas[0]['ori_shape'][:2])
+    acc = jnp.zeros(ori_hw + (model.num_classes,), jnp.float32)
+    for img, meta in zip(imgs, metas):
+        x = np.asarray(img, np.float32)[None]
+        flip_axis = None
+        if meta.get('flip', False):
+            flip_axis = 1 if meta.get('flip_direction',
+                                      'horizontal') == 'horizontal' else 0
+        fn = tta_compiled(x.shape, tuple(meta['img_shape'][:2]), ori_hw,
+                          flip_axis, mode)
+        acc = fn(variables, x, acc)
+    return np.asarray(jnp.argmax(acc, axis=-1)).astype(np.int64)
+
+
 def _host_resize_logits(logits, ori_hw, align_corners):
     """Resize (h, w, C) logits to ori_hw on host, honoring the model's
     ``align_corners``: cv2 INTER_LINEAR *is* align_corners=False semantics;
@@ -142,8 +206,11 @@ def _batched_test(model, variables, dataset, compiled, batch_size, logger,
     Buckets are (network input shape, valid crop, ori_shape). Buckets with
     >= ``device_resize_min_group`` images run the WHOLE pipeline on device
     (resize-to-ori + argmax inside the jitted program — transfer is the
-    int32 map, not 150-channel logits); smaller buckets and TTA samples
-    fall back to the host path (cv2 resize) to avoid one-off compiles.
+    int32 map, not 150-channel logits). TTA samples bucket by their
+    view-shape signature and, when it repeats, run the per-view device
+    accumulate path (softmax/flip/sum on device, one int32 transfer per
+    sample). Singleton buckets fall back to the host path (cv2 resize)
+    to avoid one-off compiles.
     """
     mode = model.test_cfg.get('mode', 'whole') \
         if isinstance(model.test_cfg, dict) else 'whole'
@@ -164,16 +231,26 @@ def _batched_test(model, variables, dataset, compiled, batch_size, logger,
                    tuple(meta['ori_shape'][:2]))
             groups.setdefault(key, []).append(idx)
         else:
-            groups.setdefault(('tta', idx), []).append(idx)
+            # TTA samples group by view-shape signature: repeated
+            # signatures amortize the per-view device programs
+            groups.setdefault(('tta', _tta_signature(imgs, metas)),
+                              []).append(idx)
 
     results = [None] * len(dataset)
+    tta_device = _jit_tta_view(model)
     done = 0
     for key, indices in groups.items():
         if isinstance(key, tuple) and key and key[0] == 'tta':
-            idx = indices[0]
-            results[idx] = _predict_one(model, variables, compiled,
-                                        *loaded[idx])
-            done += 1
+            use_device = len(indices) >= device_resize_min_group
+            for idx in indices:
+                if use_device:
+                    results[idx] = _predict_one_tta_device(
+                        model, variables, tta_device, *loaded[idx],
+                        mode=mode)
+                else:
+                    results[idx] = _predict_one(model, variables,
+                                                compiled, *loaded[idx])
+                done += 1
             continue
         net_shape, crop_hw, ori_hw = key
         use_device = len(indices) >= device_resize_min_group
