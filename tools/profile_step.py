@@ -21,7 +21,12 @@ from segdistill_tpu.parallel import create_mesh, replicate, shard_batch
 
 def parse_args():
     parser = argparse.ArgumentParser()
-    parser.add_argument('config')
+    parser.add_argument('config', nargs='?', default=None,
+                        help='training config; omit with --bench')
+    parser.add_argument('--bench', action='store_true',
+                        help='profile the exact bench.py workload '
+                             '(bf16 B0<-B3 CGD recipe) instead of a '
+                             'config')
     parser.add_argument('--trace-dir', default='/tmp/segdistill_trace')
     parser.add_argument('--steps', type=int, default=5)
     parser.add_argument('--batch', type=int, default=8)
@@ -35,6 +40,20 @@ def parse_args():
 
 def main():
     args = parse_args()
+    if args.bench:
+        import bench
+        _, step_fn, state, tv, batch, _ = bench.build()
+        state, log_vars = step_fn(state, tv, batch['img'], batch['gt'])
+        jax.block_until_ready(log_vars['loss'])
+        with jax.profiler.trace(args.trace_dir):
+            for _ in range(args.steps):
+                state, log_vars = step_fn(state, tv, batch['img'],
+                                          batch['gt'])
+            jax.block_until_ready(log_vars['loss'])
+        print(f'trace written to {args.trace_dir}')
+        if args.report:
+            report_xplane(args.trace_dir, args.steps, args.top)
+        return
     cfg = Config.fromfile(args.config)
     model_cfg = dict(cfg.model)
 
@@ -126,6 +145,27 @@ def report_xplane(trace_dir, steps, top=30):
                 for st in ev.stats:
                     if stats_meta.get(st.metadata_id) == 'category':
                         cat = st.str_value or 'other'
+                if cat == 'other':
+                    # classify from the HLO op name (axon traces often
+                    # lack the category stat)
+                    n = name.split(' = ')[0].lstrip('%')
+                    if 'jvp' in n and 'custom-call' in name \
+                            or 'custom-call' in name and (
+                                'jvp' in name or 'Custom' in name):
+                        cat = 'pallas custom-call'
+                    elif n.startswith('%') or 'fusion' in n:
+                        cat = 'fusion'
+                    elif 'convolution' in n:
+                        cat = 'convolution'
+                    elif 'copy' in n:
+                        cat = 'copy/layout'
+                    elif 'custom-call' in name:
+                        cat = 'custom-call'
+                    elif 'all-reduce' in n or 'all-gather' in n \
+                            or 'collective' in n:
+                        cat = 'collective'
+                    else:
+                        cat = n.split('.')[0].split('_')[0] or 'other'
                 per_category[cat] += dur
     ms = 1e-9  # ps -> ms
     print(f'\ntotal XLA-op time: {total_ps * ms:.2f} ms over {steps} steps '
