@@ -52,6 +52,14 @@ def can_use_fused_attn(q_shape, kv_len, head_dim):
         return False
 
 
+def _pick_tile(N, tmax=512):
+    # largest lane-aligned tile that DIVIDES N — a non-divisor tile
+    # would floor the grid and leave the last N mod t rows unwritten
+    cands = [c for c in (4096, 2048, 1024, 512, 384, 256, 128)
+             if c <= tmax]
+    return next((c for c in cands if N % c == 0), N)
+
+
 def fused_sra_attention(q, k, v, scale, interpret=False, qtile=None):
     """q (B, h, N, d); k, v (B, h, M, d) -> (B, h, N, d).
 
@@ -60,12 +68,7 @@ def fused_sra_attention(q, k, v, scale, interpret=False, qtile=None):
     """
     B, H, N, d = q.shape
     M = k.shape[2]
-    if qtile is not None:
-        t = qtile
-    else:
-        # largest lane-aligned tile that DIVIDES N — a non-divisor tile
-        # would floor the grid and leave the last N mod t rows unwritten
-        t = next((c for c in (512, 384, 256, 128) if N % c == 0), N)
+    t = qtile if qtile is not None else _pick_tile(N)
     if N % t:
         raise ValueError(f'q tile {t} does not divide N={N}')
     q_r = q.reshape(B * H, N, d)
@@ -91,3 +94,127 @@ def fused_sra_attention(q, k, v, scale, interpret=False, qtile=None):
         interpret=interpret,
     )(q_r, k_r, v_r)
     return out.reshape(B, H, N, d)
+
+
+# ---------------------------------------------------------------------------
+# Training (differentiable) flash attention
+# ---------------------------------------------------------------------------
+#
+# Because M is always <= 2048 (256 at 512^2 inputs), the backward needs no
+# online-softmax machinery: each q-tile's full (t, M) probability plane is
+# recomputed in-register from q, k and the forward's saved per-row
+# log-sum-exp, and dk/dv accumulate across the sequential q-tile grid steps
+# into a revisited fp32 output block. The unfused student path materializes
+# the fp32 score tensor plus ~10 softmax/bwd streams over it (measured
+# ~2.6 ms/step of row-stat fusions alone at stage 1, docs/perf.md round-3
+# roofline); here scores never touch HBM in either pass.
+
+
+def _bwd_train_kernel(scale, q_ref, k_ref, v_ref, do_ref,
+                      dq_ref, dk_ref, dv_ref):
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0].astype(jnp.float32)
+    # recompute the probability plane in-register (M fits VMEM, and a
+    # saved per-row lse would be a single-sublane (1, t) output block —
+    # a pathological Mosaic layout; the recompute is one MXU dot + a
+    # row max/sum, cheaper than the relayout)
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    m = jnp.max(s, axis=1, keepdims=True)
+    e = jnp.exp(s - m)
+    p = e / jnp.sum(e, axis=1, keepdims=True)     # normalized probs, f32
+    pb = p.astype(v.dtype)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        dk_ref[...] = jnp.zeros_like(dk_ref)
+        dv_ref[...] = jnp.zeros_like(dv_ref)
+
+    # dv += p^T @ do  (contract over the q rows of this tile)
+    dv_ref[0] += jax.lax.dot_general(
+        pb, do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    # dp = do @ v^T ; softmax vjp: ds = p * (dp - rowsum(dp * p))
+    dp = jax.lax.dot_general(do, v.astype(jnp.float32),
+                             (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - jnp.sum(dp * p, axis=1, keepdims=True))
+    ds = ds * scale
+    dsb = ds.astype(q.dtype)
+    dq_ref[0] = jax.lax.dot_general(
+        dsb, k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dq_ref.dtype)
+    # dk += ds^T @ q
+    dk_ref[0] += jax.lax.dot_general(
+        dsb, q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def sra_attention_train(q, k, v, scale, interpret=False):
+    """Differentiable fused SRA attention: q (B, h, N, d), k/v
+    (B, h, M, d) -> (B, h, N, d), custom VJP, scores never in HBM."""
+    out, _ = _train_fwd(q, k, v, scale, interpret)
+    return out
+
+
+def _train_fwd(q, k, v, scale, interpret):
+    # the forward program is identical to the inference kernel; large
+    # q-tiles amortize per-program overhead (the d<=64 lane underfill
+    # makes the per-tile MXU work tiny)
+    out = fused_sra_attention(q, k, v, scale, interpret=interpret,
+                              qtile=_pick_tile(q.shape[2], 2048))
+    return out, (q, k, v)
+
+
+def _train_bwd(scale, interpret, residuals, g):
+    q, k, v = residuals
+    B, H, N, d = q.shape
+    M = k.shape[2]
+    t = _pick_tile(N, 2048)
+    q_r = q.reshape(B * H, N, d)
+    k_r = k.reshape(B * H, M, d)
+    v_r = v.reshape(B * H, M, d)
+    g_r = g.reshape(B * H, N, d)
+    kernel = functools.partial(_bwd_train_kernel, float(scale))
+    dq, dk, dv = pl.pallas_call(
+        kernel,
+        grid=(B * H, N // t),
+        in_specs=[
+            pl.BlockSpec((1, t, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, t, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            # dk/dv blocks are indexed by (i,) only: the same fp32 block
+            # is revisited across the sequential j grid steps and
+            # accumulates every q-tile's contribution
+            pl.BlockSpec((1, M, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B * H, N, d), q.dtype),
+            jax.ShapeDtypeStruct((B * H, M, d), jnp.float32),
+            jax.ShapeDtypeStruct((B * H, M, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(q_r, k_r, v_r, g_r)
+    return (dq.reshape(B, H, N, d),
+            dk.reshape(B, H, M, d).astype(k.dtype),
+            dv.reshape(B, H, M, d).astype(v.dtype))
+
+
+sra_attention_train.defvjp(_train_fwd, _train_bwd)

@@ -50,3 +50,60 @@ def test_fused_sra_attention_nonmultiple_of_512():
     # a tail-dropping tile is rejected loudly rather than floored
     with pytest.raises(ValueError):
         fused_sra_attention(q, k, v, d ** -0.5, interpret=True, qtile=512)
+
+
+class TestTrainKernel:
+    """sra_attention_train (custom VJP): forward + grads vs the fp32
+    einsum oracle, interpret mode (hardware validation: bench.py)."""
+
+    def _oracle(self, q, k, v, scale):
+        s = jnp.einsum('bhnd,bhmd->bhnm', q, k,
+                       preferred_element_type=jnp.float32) * scale
+        p = jax.nn.softmax(s, axis=-1).astype(q.dtype)
+        return jnp.einsum('bhnm,bhmd->bhnd', p, v)
+
+    @pytest.mark.parametrize('shape', [
+        (2, 1, 256, 32),    # stage-4-like (no sr)
+        (1, 2, 512, 32),    # multi-head
+        (1, 1, 1024, 64),   # two q tiles -> dk/dv accumulation
+    ])
+    def test_fwd_and_grads_match_oracle(self, shape):
+        from segdistill_tpu.ops.pallas import sra_attention_train
+        B, H, N, d = shape
+        M = 256
+        rs = np.random.RandomState(0)
+        q = jnp.asarray(rs.randn(B, H, N, d), jnp.float32)
+        k = jnp.asarray(rs.randn(B, H, M, d), jnp.float32)
+        v = jnp.asarray(rs.randn(B, H, M, d), jnp.float32)
+        cot = jnp.asarray(rs.randn(B, H, N, d), jnp.float32)
+        scale = d ** -0.5
+
+        out = sra_attention_train(q, k, v, scale, True)
+        want = self._oracle(q, k, v, scale)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
+
+        def f_kernel(q, k, v):
+            return jnp.sum(sra_attention_train(q, k, v, scale, True) * cot)
+
+        def f_oracle(q, k, v):
+            return jnp.sum(self._oracle(q, k, v, scale) * cot)
+
+        gk = jax.grad(f_kernel, argnums=(0, 1, 2))(q, k, v)
+        go = jax.grad(f_oracle, argnums=(0, 1, 2))(q, k, v)
+        for a, b, name in zip(gk, go, ('dq', 'dk', 'dv')):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-4, err_msg=name)
+
+    def test_bf16_close_to_fp32_oracle(self):
+        from segdistill_tpu.ops.pallas import sra_attention_train
+        rs = np.random.RandomState(1)
+        q = jnp.asarray(rs.randn(1, 1, 256, 32), jnp.bfloat16)
+        k = jnp.asarray(rs.randn(1, 1, 256, 32), jnp.bfloat16)
+        v = jnp.asarray(rs.randn(1, 1, 256, 32), jnp.bfloat16)
+        out = sra_attention_train(q, k, v, 32 ** -0.5, True)
+        want = self._oracle(q.astype(jnp.float32), k.astype(jnp.float32),
+                            v.astype(jnp.float32), 32 ** -0.5)
+        assert out.dtype == jnp.bfloat16
+        np.testing.assert_allclose(np.asarray(out, np.float32),
+                                   np.asarray(want), rtol=0.03, atol=0.03)
