@@ -40,6 +40,29 @@ _KEY_RULES = [
     (r'\bstem\.6\.', 'stem_conv3.'), (r'\bstem\.7\.', 'stem_bn3.'),
     (r'\bdownsample\.0\.', 'downsample.conv.'),
     (r'\bdownsample\.1\.', 'downsample.bn.'),
+    # Fast-SCNN module names (ref mmseg/models/backbones/fast_scnn.py:
+    # 335-360) -> this framework's flat child names; bottleneckN.M then
+    # falls through to the InvertedResidual Sequential rules below.
+    (r'\blearning_to_downsample\.conv\.', 'ld_conv.'),
+    (r'\blearning_to_downsample\.dsconv(\d)\.', r'ld_dsconv\1.'),
+    (r'\bglobal_feature_extractor\.bottleneck(\d)\.(\d+)\.',
+     r'bottleneck\1_\2.'),
+    (r'\bglobal_feature_extractor\.ppm\.(\d+)\.1\.', r'ppm.pool_\1.'),
+    (r'\bglobal_feature_extractor\.out\.', 'gfe_out.'),
+    (r'\bfeature_fusion\.dwconv\.', 'ffm_dwconv.'),
+    (r'\bfeature_fusion\.conv_lower_res\.', 'ffm_conv_lower.'),
+    (r'\bfeature_fusion\.conv_higher_res\.', 'ffm_conv_higher.'),
+    # MobileNetV2 / Fast-SCNN InvertedResidual nn.Sequential (ref
+    # mmseg/models/utils/inverted_residual.py:49-79) -> this framework's
+    # named children. MNv2's layer1 is the only expand_ratio=1 stage
+    # (arch row [1, 16, 1]), so its 2-module Sequential starts at
+    # depthwise; all others have the 1x1 expand first. Must run after
+    # the layerN.M -> layerN_M / bottleneckN.M -> bottleneckN_M rules.
+    (r'\b(layer1_\d+\.)conv\.0\.', r'\1depthwise_conv.'),
+    (r'\b(layer1_\d+\.)conv\.1\.', r'\1linear_conv.'),
+    (r'\b((?:layer\d+|bottleneck\d)_\d+\.)conv\.0\.', r'\1expand_conv.'),
+    (r'\b((?:layer\d+|bottleneck\d)_\d+\.)conv\.1\.', r'\1depthwise_conv.'),
+    (r'\b((?:layer\d+|bottleneck\d)_\d+\.)conv\.2\.', r'\1linear_conv.'),
 ]
 
 # structural alternates tried when the direct path is absent

@@ -1,4 +1,18 @@
-"""Fast-SCNN backbone (ref contract: mmseg/models/backbones/fast_scnn.py:250)."""
+"""Fast-SCNN backbone (ref contract: mmseg/models/backbones/fast_scnn.py:250).
+
+Structure per the reference:
+
+* LearningToDownsample (:13-71): 3x3 s2 ConvModule with mmcv's default
+  padding 0 (odd feature sizes are part of the contract), then two
+  3x3 s2 p1 DepthwiseSeparableConvModules -> 'higher' features (1/8).
+* GlobalFeatureExtractor (:74-179): 3 groups x 3 MobileNetV2
+  InvertedResiduals (ReLU6), strides (2,2,1); PPM(1,2,3,6); concat;
+  1x1 out ConvModule -> 'lower' features.
+* FeatureFusionModule (:182-240): lower is bilinear-resized to higher's
+  size, through a 1x1 ConvModule ('dwconv' — the reference names it that
+  but it IS a plain 1x1, :213-220) + a 1x1 act-free ConvModule; higher
+  through a 1x1 act-free ConvModule; ReLU(sum).
+"""
 
 from typing import Sequence
 
@@ -24,6 +38,7 @@ class FastSCNN(nn.Module):
     fusion_out_channels: int = 128
     out_indices: Sequence[int] = (0, 1, 2)
     norm_cfg: dict = None
+    act_cfg: dict = None
     align_corners: bool = False
     pretrained: str = None
     style: str = None
@@ -33,11 +48,13 @@ class FastSCNN(nn.Module):
     def __call__(self, x, train=False):
         x = x.astype(self.dtype)
         norm_cfg = self.norm_cfg or dict(type='BN')
+        act_cfg = self.act_cfg or dict(type='ReLU')
 
-        # learning-to-downsample (1/8)
+        # learning-to-downsample (1/8); first conv has mmcv's default
+        # padding 0 (ref :43-50)
         x = ConvModule(out_channels=self.downsample_dw_channels[0],
-                       kernel_size=3, stride=2, padding=1,
-                       norm_cfg=norm_cfg, name='ld_conv')(x, train=train)
+                       kernel_size=3, stride=2, norm_cfg=norm_cfg,
+                       act_cfg=act_cfg, name='ld_conv')(x, train=train)
         x = DepthwiseSeparableConvModule(
             out_channels=self.downsample_dw_channels[1], kernel_size=3,
             stride=2, padding=1, norm_cfg=norm_cfg,
@@ -46,7 +63,7 @@ class FastSCNN(nn.Module):
             out_channels=self.global_in_channels, kernel_size=3, stride=2,
             padding=1, norm_cfg=norm_cfg, name='ld_dsconv2')(x, train=train)
 
-        # global feature extractor (1/32) + PPM
+        # global feature extractor (1/32) + PPM (ref :122-178)
         g = higher
         for bi, (ch, stride) in enumerate(zip(self.global_block_channels,
                                               self.global_block_strides)):
@@ -54,23 +71,24 @@ class FastSCNN(nn.Module):
                 g = InvertedResidual(out_channels=ch,
                                      stride=stride if j == 0 else 1,
                                      expand_ratio=6, norm_cfg=norm_cfg,
-                                     name=f'gfe_{bi}_{j}')(g, train=train)
-        ppm_outs = [g] + PPM((1, 2, 3, 6), self.global_out_channels // 4,
-                             norm_cfg=norm_cfg,
+                                     name=f'bottleneck{bi + 1}_{j}')(
+                                         g, train=train)
+        ppm_outs = [g] + PPM((1, 2, 3, 6),
+                             self.global_block_channels[2] // 4,
+                             norm_cfg=norm_cfg, act_cfg=act_cfg,
                              align_corners=self.align_corners,
                              name='ppm')(g, train=train)
         lower = ConvModule(out_channels=self.global_out_channels,
-                           kernel_size=3, padding=1, norm_cfg=norm_cfg,
-                           name='gfe_out')(
+                           kernel_size=1, norm_cfg=norm_cfg,
+                           act_cfg=act_cfg, name='gfe_out')(
             jnp.concatenate(ppm_outs, axis=-1), train=train)
 
-        # feature fusion
+        # feature fusion (ref :182-240)
         up = resize(lower, size=higher.shape[1:3], mode='bilinear',
                     align_corners=self.align_corners)
-        up = DepthwiseSeparableConvModule(
-            out_channels=self.fusion_out_channels, kernel_size=3,
-            padding=1, norm_cfg=norm_cfg, dw_act_cfg=None,
-            name='ffm_dwconv')(up, train=train)
+        up = ConvModule(out_channels=self.fusion_out_channels,
+                        kernel_size=1, norm_cfg=norm_cfg, act_cfg=act_cfg,
+                        name='ffm_dwconv')(up, train=train)
         up = ConvModule(out_channels=self.fusion_out_channels,
                         kernel_size=1, norm_cfg=norm_cfg, act_cfg=None,
                         name='ffm_conv_lower')(up, train=train)
@@ -78,4 +96,5 @@ class FastSCNN(nn.Module):
                         kernel_size=1, norm_cfg=norm_cfg, act_cfg=None,
                         name='ffm_conv_higher')(higher, train=train)
         fusion = nn.relu(hi + up)
-        return (higher, lower, fusion)
+        outs = [higher, lower, fusion]
+        return tuple(outs[i] for i in self.out_indices)

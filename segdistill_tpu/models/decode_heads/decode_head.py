@@ -29,7 +29,10 @@ class BaseDecodeHead(nn.Module):
     dropout_ratio: float = 0.1
     conv_cfg: dict = None
     norm_cfg: dict = None
-    act_cfg: dict = None
+    # 'default' sentinel -> ReLU (ref decode_head.py:71 act_cfg=dict(
+    # type='ReLU')); an explicit None from config means no activation
+    # (mmcv ConvModule contract). Forwarded verbatim to ConvModule.
+    act_cfg: object = 'default'
     in_index: Any = -1
     input_transform: str = None
     loss_decode: dict = None

@@ -11,8 +11,10 @@ from .decode_head import BaseDecodeHead
 
 @HEADS.register_module()
 class DepthwiseSeparableFCNHead(BaseDecodeHead):
-    num_convs: int = 1
-    concat_input: bool = False
+    # inherits FCNHead's defaults (ref sep_fcn_head.py subclasses FCNHead;
+    # fcn_head.py:23-25 num_convs=2, concat_input=True)
+    num_convs: int = 2
+    concat_input: bool = True
 
     @nn.compact
     def __call__(self, inputs, train=False):

@@ -23,13 +23,20 @@ class ConvModule(nn.Module):
     bias: object = 'auto'
     conv_cfg: dict = None
     norm_cfg: dict = None
-    act_cfg: dict = None
+    # mmcv semantics: unset -> ReLU, explicit None -> NO activation.
+    # A flax dataclass field can't default to a dict, so 'default' is the
+    # unset sentinel (None must stay distinguishable — every
+    # InvertedResidual linear_conv / HRNet fuse tail / ANN fusion passes
+    # None meaning identity, ref mmcv.cnn.ConvModule act_cfg contract).
+    act_cfg: object = 'default'
     order: tuple = ('conv', 'norm', 'act')
-    default_act: dict = None  # class-level default when act_cfg is None
+    default_act: dict = None  # class-level default when act_cfg is unset
 
     def _act_cfg(self):
-        if self.act_cfg is not None or self.default_act is not None:
-            return self.act_cfg if self.act_cfg is not None else self.default_act
+        if self.act_cfg != 'default':
+            return self.act_cfg  # may be None -> identity
+        if self.default_act is not None:
+            return self.default_act
         return dict(type='ReLU')
 
     @nn.compact
@@ -94,7 +101,7 @@ class DepthwiseSeparableConvModule(nn.Module):
     padding: int = 0
     dilation: int = 1
     norm_cfg: dict = None
-    act_cfg: dict = None
+    act_cfg: object = 'default'
     dw_norm_cfg: object = 'default'
     dw_act_cfg: object = 'default'
     pw_norm_cfg: object = 'default'

@@ -46,7 +46,9 @@ def _tap_sum(x, w, b, stride, padding, dilation):
     out_h = (H + 2 * ph - dh * (kh - 1) - 1) // sh + 1
     out_w = (W + 2 * pw - dw_ * (kw - 1) - 1) // sw + 1
     xp = jnp.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0)))
-    wf = w.astype(jnp.float32)
+    # accumulate at >= f32 (f64 stays f64 under jax_enable_x64)
+    acc = jnp.promote_types(x.dtype, jnp.float32)
+    wf = w.astype(acc)
     out = None
     for dy in range(kh):
         y0 = dy * dh
@@ -54,9 +56,9 @@ def _tap_sum(x, w, b, stride, padding, dilation):
             x0 = dx * dw_
             tap = xp[:, y0:y0 + sh * (out_h - 1) + 1:sh,
                      x0:x0 + sw * (out_w - 1) + 1:sw, :]
-            term = tap.astype(jnp.float32) * wf[dy, dx, 0]
+            term = tap.astype(acc) * wf[dy, dx, 0]
             out = term if out is None else out + term
-    out = out + b.astype(jnp.float32)
+    out = out + b.astype(acc)
     return out.astype(x.dtype)
 
 
