@@ -35,6 +35,16 @@ _KEY_RULES = [
     (r'\bfpn_convs\.(\d+)\.', r'fpn_convs_\1.'),
     (r'\bconvs\.(\d+)\.', r'convs_\1.'),
     (r'\baspp_modules\.(\d+)\.', r'aspp_\1.'),
+    # CGNet (ref mmseg/models/backbones/cgnet.py:247-334): ModuleList
+    # stem of ConvModules (distinguished from ResNet's bare-layer deep
+    # stem below by the conv/bn/activate child), norm_prelu Sequentials
+    # (bn at .0, PReLU at .1), level blocks, f_glo's fc Sequential.
+    (r'\bstem\.(\d)\.(?=(?:conv|bn|activate)\.)', r'stem_\1.'),
+    (r'\bnorm_prelu_(\d)\.0\.', r'norm_prelu_\1_bn.'),
+    (r'\bnorm_prelu_(\d)\.1\.', r'norm_prelu_\1_act.'),
+    (r'\blevel(\d)\.(\d+)\.', r'level\1_\2.'),
+    (r'\bf_glo\.fc\.0\.', 'f_glo.fc1.'),
+    (r'\bf_glo\.fc\.2\.', 'f_glo.fc2.'),
     (r'\bstem\.0\.', 'stem_conv1.'), (r'\bstem\.1\.', 'stem_bn1.'),
     (r'\bstem\.3\.', 'stem_conv2.'), (r'\bstem\.4\.', 'stem_bn2.'),
     (r'\bstem\.6\.', 'stem_conv3.'), (r'\bstem\.7\.', 'stem_bn3.'),
@@ -86,6 +96,9 @@ def _candidates(base_comps, leaf, ndim):
         out.append(('params', base_comps + ('scale',)))
         for n in ('bn', 'ln', 'gn'):
             out.append(('params', base_comps + (n, 'scale')))
+        if ndim == 1:
+            # torch nn.PReLU stores its per-channel slope as '.weight'
+            out.append(('params', base_comps + ('weight',)))
     elif leaf == 'bias':
         out.append(('params', base_comps + ('bias',)))
         for n in ('bn', 'ln', 'gn'):

@@ -2,8 +2,10 @@
 (ref contract: mmseg/models/losses/cross_entropy_loss.py:9-198).
 
 NHWC logits (class axis last), int labels with ignore_index (default 255 from
-the heads). Per-pixel CE is computed in fp32 (the reference head losses run
-under ``@force_fp32``, decode_head.py:217).
+the heads). Per-pixel CE is computed at >= fp32 — bf16 logits promote to
+fp32 (the reference head losses run under ``@force_fp32``,
+decode_head.py:217); f64 under jax_enable_x64 stays f64 so the x64 parity
+gates see no f32 island.
 """
 
 import jax
@@ -13,10 +15,14 @@ from ..builder import LOSSES
 from .utils import weight_reduce_loss
 
 
+def _f32floor(a):
+    return a.astype(jnp.promote_types(a.dtype, jnp.float32))
+
+
 def _per_pixel_ce(pred, label, class_weight=None, ignore_index=-100):
     """Elementwise CE with zeros at ignored pixels (= torch F.cross_entropy
     with reduction='none')."""
-    pred = pred.astype(jnp.float32)
+    pred = _f32floor(pred)
     num_classes = pred.shape[-1]
     valid = (label != ignore_index) & (label >= 0) & (label < num_classes)
     safe_label = jnp.where(valid, label, 0)
@@ -25,7 +31,7 @@ def _per_pixel_ce(pred, label, class_weight=None, ignore_index=-100):
                                  axis=-1)[..., 0]
     loss = lse - picked
     if class_weight is not None:
-        cw = jnp.asarray(class_weight, dtype=jnp.float32)
+        cw = jnp.asarray(class_weight, dtype=pred.dtype)
         loss = loss * cw[safe_label]
     return jnp.where(valid, loss, 0.0)
 
@@ -34,7 +40,7 @@ def cross_entropy(pred, label, weight=None, class_weight=None,
                   reduction='mean', avg_factor=None, ignore_index=-100):
     loss = _per_pixel_ce(pred, label, class_weight, ignore_index)
     if weight is not None:
-        weight = weight.astype(jnp.float32)
+        weight = _f32floor(weight)
     return weight_reduce_loss(loss, weight=weight, reduction=reduction,
                               avg_factor=avg_factor)
 
@@ -45,18 +51,18 @@ def binary_cross_entropy(pred, label, weight=None, reduction='mean',
     """BCE-with-logits path (``use_sigmoid=True``). pred NHWC, label (N,H,W)
     int → expanded one-hot with the ignore mask folded into the weights
     (ref: cross_entropy_loss.py:36-103)."""
-    pred = pred.astype(jnp.float32)
+    pred = _f32floor(pred)
     if pred.ndim != label.ndim:
         num_classes = pred.shape[-1]
         valid = (label >= 0) & (label != ignore_index) & (label < num_classes)
         safe_label = jnp.where(valid, label, 0)
-        onehot = jax.nn.one_hot(safe_label, num_classes, dtype=jnp.float32)
+        onehot = jax.nn.one_hot(safe_label, num_classes, dtype=pred.dtype)
         onehot = onehot * valid[..., None]
-        valid_w = valid[..., None].astype(jnp.float32)
+        valid_w = valid[..., None].astype(pred.dtype)
         weight = valid_w if weight is None else weight[..., None] * valid_w
         weight = jnp.broadcast_to(weight, pred.shape)
         label = onehot
-    label = label.astype(jnp.float32)
+    label = label.astype(pred.dtype)
     loss = jnp.maximum(pred, 0) - pred * label + jnp.log1p(
         jnp.exp(-jnp.abs(pred)))
     if class_weight is not None:

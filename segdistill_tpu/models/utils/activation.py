@@ -1,5 +1,24 @@
+import flax.linen as nn
 import jax
 import jax.numpy as jnp
+
+
+class PReLU(nn.Module):
+    """Learnable leaky-ReLU slope, one per channel (torch nn.PReLU).
+
+    Param name 'weight' and shape (C,) mirror the torch layout so the
+    checkpoint converter's direct-path candidate picks it up. ``init``
+    follows torch's default 0.25; mmseg CGNet's init_weights zeroes it
+    (ref cgnet.py:354-355) so CGNet passes init=0.0.
+    """
+    init: float = 0.25
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param('weight', nn.initializers.constant(self.init),
+                       (x.shape[-1],), jnp.float32)
+        w = w.astype(x.dtype)
+        return jnp.where(x >= 0, x, w * x)
 
 
 def build_activation(act_cfg):

@@ -47,7 +47,14 @@ class ConvModule(nn.Module):
         s = to_2tuple(self.stride)
         p = to_2tuple(self.padding)
         d = to_2tuple(self.dilation)
-        act = build_activation(self._act_cfg())
+        act_cfg = self._act_cfg()
+        if act_cfg is not None and act_cfg.get('type') == 'PReLU':
+            # learnable activation -> child module named 'activate', the
+            # torch mmcv ConvModule submodule key (…activate.weight)
+            from .activation import PReLU
+            act = PReLU(init=act_cfg.get('init', 0.25), name='activate')
+        else:
+            act = build_activation(act_cfg)
 
         if self.groups > 1 and self.groups == x.shape[-1] \
                 and self.out_channels == self.groups:

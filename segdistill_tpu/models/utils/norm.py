@@ -25,24 +25,26 @@ class NormLayer(nn.Module):
         cfg = dict(self.norm_cfg or dict(type='BN'))
         norm_type = cfg.pop('type')
         cfg.pop('requires_grad', None)
-        # statistics run in fp32 (dtype=self.dtype default) but the output
-        # returns to the activation dtype — otherwise every BN silently
-        # promotes the rest of a bf16 network to fp32
+        # statistics run in >= fp32 (bf16 activations promote to f32; f64
+        # under jax_enable_x64 stays f64 so the x64 parity gates see no
+        # f32 island) but the output returns to the activation dtype —
+        # otherwise every BN silently promotes a bf16 network to fp32
+        dtype = jnp.promote_types(self.dtype, x.dtype)
         if norm_type in ('BN', 'SyncBN', 'BN2d', 'BN1d'):
             out = nn.BatchNorm(
                 use_running_average=not train,
                 momentum=1.0 - cfg.pop('momentum', 0.1),
                 epsilon=cfg.pop('eps', 1e-5),
-                dtype=self.dtype, name='bn')(x)
+                dtype=dtype, name='bn')(x)
         elif norm_type == 'GN':
             out = nn.GroupNorm(
                 num_groups=cfg.pop('num_groups'),
                 epsilon=cfg.pop('eps', 1e-5),
-                dtype=self.dtype, name='gn')(x)
+                dtype=dtype, name='gn')(x)
         elif norm_type == 'LN':
             out = nn.LayerNorm(
                 epsilon=cfg.pop('eps', 1e-5),
-                dtype=self.dtype, name='ln')(x)
+                dtype=dtype, name='ln')(x)
         else:
             raise KeyError(f'unsupported norm type {norm_type}')
         return out.astype(x.dtype)

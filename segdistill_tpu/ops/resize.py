@@ -38,7 +38,7 @@ def _linear_taps(in_size, out_size, align_corners):
         src = np.clip(src, 0.0, in_size - 1)
     i0 = np.clip(np.floor(src).astype(np.int32), 0, in_size - 1)
     i1 = np.minimum(i0 + 1, in_size - 1)
-    frac = (src - i0).astype(np.float32)
+    frac = src - i0  # float64; consumers cast to compute dtype
     return i0, i1, frac
 
 
@@ -46,7 +46,7 @@ def _linear_taps(in_size, out_size, align_corners):
 def _linear_matrix(in_size, out_size, align_corners):
     """(out_size, in_size) dense interpolation matrix (MXU path)."""
     i0, i1, frac = _linear_taps(in_size, out_size, align_corners)
-    mat = np.zeros((out_size, in_size), dtype=np.float32)
+    mat = np.zeros((out_size, in_size), dtype=np.float64)
     rows = np.arange(out_size)
     np.add.at(mat, (rows, i0), 1.0 - frac)
     np.add.at(mat, (rows, i1), frac)
@@ -102,7 +102,8 @@ def _resize_axis(xf, axis, out_size, align_corners, bf16=False):
         # torch clamps src into [0, in-1]: identical here since edge
         # phases reuse the clamped lo/hi rows
         return out
-    mat = jnp.asarray(_linear_matrix(in_size, out_size, align_corners))
+    mat = jnp.asarray(_linear_matrix(in_size, out_size, align_corners),
+                      dtype=xf.dtype)
     if bf16:
         mat = mat.astype(jnp.bfloat16)
         eq = 'oh,bhwc->bowc' if axis == 1 else 'ow,bhwc->bhoc'
@@ -165,12 +166,14 @@ def resize(x, size=None, scale_factor=None, mode='bilinear',
                 xf = _resize_axis(xf, 2, out_w, ac, bf16=True)
             out = xf.astype(dtype)
         else:
-            xf = x.astype(jnp.float32)
+            # >= fp32: f64 under jax_enable_x64 stays f64 (parity gates)
+            cdt = jnp.promote_types(dtype, jnp.float32)
+            xf = x.astype(cdt)
             if out_h != h:
                 xf = _resize_axis(xf, 1, out_h, ac)
             if out_w != w:
                 xf = _resize_axis(xf, 2, out_w, ac)
-            out = xf.astype(dtype) if dtype != jnp.float32 else xf
+            out = xf.astype(dtype) if dtype != cdt else xf
     else:
         raise ValueError(f'unsupported resize mode: {mode}')
 

@@ -42,8 +42,9 @@ def test_fast_scnn():
 def test_cgnet():
     outs = _run_backbone(dict(type='CGNet', norm_cfg=NORM))
     assert outs[0].shape[-1] == 32 + 3
-    assert outs[1].shape[-1] == 64 + 3
-    assert outs[2].shape[-1] == 128
+    # stage outputs re-inject the downsampling block (ref cgnet.py:313-334)
+    assert outs[1].shape[-1] == 2 * 64 + 3
+    assert outs[2].shape[-1] == 2 * 128
 
 
 def test_mobilenet_v3():

@@ -33,6 +33,8 @@ def _randomize(model, seed=0):
     """Random values in every tensor (incl. BN running stats) so that any
     mis-mapped or mis-transposed leaf shows up as a logit mismatch."""
     g = torch.Generator().manual_seed(seed)
+    prelus = {f'{name}.weight' for name, m in model.named_modules()
+              if isinstance(m, torch.nn.PReLU)}
     sd = model.state_dict()
     for k, v in sd.items():
         if (k.endswith('num_batches_tracked') or v.ndim == 0
@@ -42,6 +44,13 @@ def _randomize(model, seed=0):
             sd[k] = 0.5 + torch.rand(v.shape, generator=g)
         elif 'running_mean' in k:
             sd[k] = 0.1 * torch.randn(v.shape, generator=g)
+        elif k in prelus:
+            # realistic slopes (torch init 0.25): a "norm-scale" ~1.1
+            # slope makes PReLU near-linear, so CGNet's 21 residual
+            # blocks amplify activations geometrically (measured 8.8 ->
+            # 637 over stage 2) and fp32-vs-fp32 roundoff outgrows any
+            # absolute tolerance while staying ~1e-8 RELATIVE
+            sd[k] = 0.25 * torch.rand(v.shape, generator=g)
         elif v.ndim == 1 and k.endswith('weight'):  # norm scales
             sd[k] = 1.0 + 0.2 * torch.rand(v.shape, generator=g)
         elif v.ndim == 1:  # biases
@@ -498,17 +507,23 @@ def _mnv2_cfg(num_classes=19, embed_dim=64):
         test_cfg=dict(mode='whole'))
 
 
-def _grad_cosine_f64(tmodel, fmodel, variables, num_classes=19, seed=14,
+def _grad_cosine_f64(tmodel, cfg, variables, num_classes=19, seed=14,
                      img_hw=64):
     """Shared f64 step-0 gradient-parity gate for BN-heavy CNNs.
 
-    Runs in float64 on BOTH sides (jax.enable_x64 + ``.double()``): tens
-    of train-mode-BN convs deep, fp32 alone accumulates enough noise that
-    the honest f32 global cosine is ~0.9988 (measured on MNv2); the f64
-    run pins every real-gradient tensor at >=0.9997, proving that residue
-    is precision, not semantics. x64 also exercises the tap-sum dwconv's
-    dtype-promoting accumulator (ops/dwconv.py)."""
+    Runs in float64 on BOTH sides (jax.enable_x64 + ``.double()``,
+    rebuilding the flax model with ``backbone.dtype=float64`` — the
+    backbones cast inputs to their configured compute dtype, so the f32
+    default would silently undo x64): tens of train-mode-BN convs deep,
+    fp32 alone accumulates enough noise that the honest f32 global cosine
+    is ~0.9988 (measured on MNv2); the f64 run pins every real-gradient
+    tensor, proving that residue is precision, not semantics. x64 also
+    exercises the tap-sum dwconv's dtype-promoting accumulator
+    (ops/dwconv.py)."""
     import copy
+    cfg = copy.deepcopy(cfg)
+    cfg['backbone']['dtype'] = jnp.float64
+    fmodel = build_segmentor(cfg)
     tmodel = copy.deepcopy(tmodel).train().double()
     rs = np.random.RandomState(seed)
     img = rs.randn(2, 3, img_hw, img_hw)
@@ -553,7 +568,8 @@ def _grad_cosine_f64(tmodel, fmodel, variables, num_classes=19, seed=14,
             cands = (['.'.join(comps[:-1]) + '.kernel']
                      if tg.ndim >= 2 else
                      ['.'.join(comps[:-1]) + '.scale',
-                      '.'.join(comps[:-1]) + '.bn.scale'])
+                      '.'.join(comps[:-1]) + '.bn.scale',
+                      '.'.join(comps)])  # PReLU slope keeps '.weight'
         else:
             cands = ['.'.join(comps[:-1]) + '.bias',
                      '.'.join(comps[:-1]) + '.bn.bias']
@@ -633,7 +649,7 @@ class TestMobileNetV2Parity:
         the depthwise kernels' grads, i.e. the tap-sum custom VJP's
         conv-expressed backward (f64 both sides, see _grad_cosine_f64)."""
         tmodel, fmodel, variables = setup
-        _grad_cosine_f64(tmodel, fmodel, variables)
+        _grad_cosine_f64(tmodel, _mnv2_cfg(), variables)
 
 
 def _build_torch_fast_scnn(num_classes=19):
@@ -703,4 +719,75 @@ class TestFastSCNNParity:
 
     def test_step0_gradient_cosine_f64(self, setup):
         tmodel, fmodel, variables = setup
-        _grad_cosine_f64(tmodel, fmodel, variables, seed=24, img_hw=128)
+        _grad_cosine_f64(tmodel, _fast_scnn_cfg(), variables, seed=24,
+                         img_hw=128)
+
+
+def _build_torch_cgnet(num_classes=19):
+    from torch_ref.cgnet import CGNet
+    from torch_ref.heads import EncoderDecoder, FCNHead
+    return EncoderDecoder(CGNet(), FCNHead(256, 64, num_classes,
+                                           in_index=2))
+
+
+def _cgnet_cfg(num_classes=19):
+    return dict(
+        type='EncoderDecoder',
+        backbone=dict(type='CGNet', norm_cfg=NORM),
+        decode_head=dict(
+            type='FCNHead', in_channels=256, channels=64, num_convs=1,
+            concat_input=False, num_classes=num_classes, in_index=2,
+            dropout_ratio=0.0, norm_cfg=NORM, align_corners=False),
+        test_cfg=dict(mode='whole'))
+
+
+class TestCGNetParity:
+    """CGNet through the production converter. Pins the reference details
+    this framework initially got wrong: learnable per-channel PReLU (was a
+    fixed LeakyReLU 0.01), the stage-output concats that re-inject the
+    stage's first downsampling block (stage1 = cat[x, down1, inp_4x] ->
+    131 ch, stage2 = cat[down2, x] -> 256 ch, ref cgnet.py:313-334), the
+    chained-3x3 input injection (was a single 5x5), and the bias-free
+    bottleneck conv."""
+
+    @pytest.fixture(scope='class')
+    def setup(self, tmp_path_factory):
+        tmodel = _randomize(_build_torch_cgnet(), seed=31).eval()
+        fmodel = build_segmentor(_cgnet_cfg())
+        variables = _convert(fmodel, tmodel,
+                             tmp_path_factory.mktemp('cgnet'),
+                             (1, 64, 64, 3))
+        return tmodel, fmodel, variables
+
+    def test_backbone_stage_parity(self, setup):
+        tmodel, fmodel, variables = setup
+        x = np.random.RandomState(32).randn(2, 3, 64, 64).astype(np.float32)
+        with torch.no_grad():
+            t_outs = tmodel.backbone(torch.from_numpy(x))
+        f_outs = fmodel.net.apply(
+            variables, jnp.asarray(x.transpose(0, 2, 3, 1)), train=False,
+            method=fmodel.net.extract_feat)
+        for s, (t, f) in enumerate(zip(t_outs, f_outs)):
+            t = t.numpy()
+            f = np.asarray(f, np.float32).transpose(0, 3, 1, 2)
+            assert f.shape == t.shape, \
+                f'stage {s}: {f.shape} vs {t.shape} (concat contract)'
+            np.testing.assert_allclose(
+                f, t, rtol=1e-4, atol=1e-4,
+                err_msg=f'CGNet stage {s} diverged')
+
+    def test_logit_parity(self, setup):
+        tmodel, fmodel, variables = setup
+        x = np.random.RandomState(33).randn(2, 3, 64, 64).astype(np.float32)
+        with torch.no_grad():
+            t_logits = tmodel(torch.from_numpy(x)).numpy()
+        outs = fmodel.net.apply(variables,
+                                jnp.asarray(x.transpose(0, 2, 3, 1)),
+                                train=False, with_aux=False)
+        f_logits = np.asarray(outs['decode'], np.float32).transpose(
+            0, 3, 1, 2)
+        np.testing.assert_allclose(f_logits, t_logits, rtol=1e-4, atol=1e-4)
+
+    def test_step0_gradient_cosine_f64(self, setup):
+        tmodel, fmodel, variables = setup
+        _grad_cosine_f64(tmodel, _cgnet_cfg(), variables, seed=34)
