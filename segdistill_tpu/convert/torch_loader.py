@@ -35,6 +35,28 @@ _KEY_RULES = [
     (r'\bfpn_convs\.(\d+)\.', r'fpn_convs_\1.'),
     (r'\bconvs\.(\d+)\.', r'convs_\1.'),
     (r'\baspp_modules\.(\d+)\.', r'aspp_\1.'),
+    # HRNet (ref mmseg/models/backbones/hrnet.py:290-543). Sequential
+    # index -> ConvModule child; the 3-index transition chain / 5-index
+    # fuse rules must precede their shorter 2-/4-index variants. The
+    # (?=\w+$) lookahead anchors the {0,1} Sequential slot to the leaf
+    # so conv (.0.) and bn (.1.) slots are not confused with branch
+    # indices.
+    (r'\btransition(\d)\.(\d+)\.(\d+)\.0\.(?=\w+$)',
+     r'transition\1_\2_\3.conv.'),
+    (r'\btransition(\d)\.(\d+)\.(\d+)\.1\.(?=\w+$)',
+     r'transition\1_\2_\3.bn.'),
+    (r'\btransition(\d)\.(\d+)\.0\.(?=\w+$)', r'transition\1_\2.conv.'),
+    (r'\btransition(\d)\.(\d+)\.1\.(?=\w+$)', r'transition\1_\2.bn.'),
+    (r'\bstage(\d)\.(\d+)\.branches\.(\d+)\.(\d+)\.',
+     r'stage\1_m\2_b\3.block_\4.'),
+    (r'\bstage(\d)\.(\d+)\.fuse_layers\.(\d+)\.(\d+)\.(\d+)\.0\.(?=\w+$)',
+     r'stage\1_m\2_fuse.fuse_\3_\4_\5.conv.'),
+    (r'\bstage(\d)\.(\d+)\.fuse_layers\.(\d+)\.(\d+)\.(\d+)\.1\.(?=\w+$)',
+     r'stage\1_m\2_fuse.fuse_\3_\4_\5.bn.'),
+    (r'\bstage(\d)\.(\d+)\.fuse_layers\.(\d+)\.(\d+)\.0\.(?=\w+$)',
+     r'stage\1_m\2_fuse.fuse_\3_\4.conv.'),
+    (r'\bstage(\d)\.(\d+)\.fuse_layers\.(\d+)\.(\d+)\.1\.(?=\w+$)',
+     r'stage\1_m\2_fuse.fuse_\3_\4.bn.'),
     # CGNet (ref mmseg/models/backbones/cgnet.py:247-334): ModuleList
     # stem of ConvModules (distinguished from ResNet's bare-layer deep
     # stem below by the conv/bn/activate child), norm_prelu Sequentials

@@ -100,9 +100,13 @@ class BaseDecodeHead(nn.Module):
                 lw = loss_cfg.get('loss_weight', 1.0)
                 return {'loss_seg': lw * ce_sum / total_px,
                         'acc_seg': correct * (100.0 / total_px)}
-        seg_logit = resize(seg_logit.astype(jnp.float32),
-                           size=seg_label.shape[1:3], mode='bilinear',
-                           align_corners=self.align_corners)
+        # >= fp32 (ref @force_fp32, decode_head.py:217); f64 under
+        # jax_enable_x64 stays f64 for the x64 parity gates
+        seg_logit = resize(
+            seg_logit.astype(jnp.promote_types(seg_logit.dtype,
+                                               jnp.float32)),
+            size=seg_label.shape[1:3], mode='bilinear',
+            align_corners=self.align_corners)
         if self.sampler is not None and seg_weight is None:
             # pixel sampler (OHEM) -> per-pixel weights
             # (ref decode_head.py:222-226)

@@ -791,3 +791,82 @@ class TestCGNetParity:
     def test_step0_gradient_cosine_f64(self, setup):
         tmodel, fmodel, variables = setup
         _grad_cosine_f64(tmodel, _cgnet_cfg(), variables, seed=34)
+
+
+_HRNET_EXTRA = dict(
+    stage1=dict(num_modules=1, num_branches=1, block='BOTTLENECK',
+                num_blocks=(2,), num_channels=(32,)),
+    stage2=dict(num_modules=1, num_branches=2, block='BASIC',
+                num_blocks=(2, 2), num_channels=(16, 32)),
+    stage3=dict(num_modules=2, num_branches=3, block='BASIC',
+                num_blocks=(2, 2, 2), num_channels=(16, 32, 64)),
+    stage4=dict(num_modules=1, num_branches=4, block='BASIC',
+                num_blocks=(2, 2, 2, 2), num_channels=(16, 32, 64, 128)))
+
+
+def _build_torch_hrnet(num_classes=19):
+    from torch_ref.heads import EncoderDecoder, FCNHead
+    from torch_ref.hrnet import HRNet
+    return EncoderDecoder(HRNet(_HRNET_EXTRA),
+                          FCNHead(128, 64, num_classes, in_index=3))
+
+
+def _hrnet_cfg(num_classes=19):
+    return dict(
+        type='EncoderDecoder',
+        backbone=dict(type='HRNet', extra=_HRNET_EXTRA, norm_cfg=NORM),
+        decode_head=dict(
+            type='FCNHead', in_channels=128, channels=64, num_convs=1,
+            concat_input=False, num_classes=num_classes, in_index=3,
+            dropout_ratio=0.0, norm_cfg=NORM, align_corners=False),
+        test_cfg=dict(mode='whole'))
+
+
+class TestHRNetParity:
+    """HRNet (w18-shaped, all structural paths: Bottleneck stage 1,
+    channel-adapting transition, new-branch downsample chains, 4-branch
+    fuse with multi-step up/downsampling, repeated modules) through the
+    production converter. Pins the fuse-tail act_cfg=None contract and
+    the 'transition feeds the LAST branch' reference quirk."""
+
+    @pytest.fixture(scope='class')
+    def setup(self, tmp_path_factory):
+        tmodel = _randomize(_build_torch_hrnet(), seed=51).eval()
+        fmodel = build_segmentor(_hrnet_cfg())
+        variables = _convert(fmodel, tmodel,
+                             tmp_path_factory.mktemp('hrnet'),
+                             (1, 64, 64, 3))
+        return tmodel, fmodel, variables
+
+    def test_backbone_stage_parity(self, setup):
+        tmodel, fmodel, variables = setup
+        x = np.random.RandomState(52).randn(2, 3, 64, 64).astype(np.float32)
+        with torch.no_grad():
+            t_outs = tmodel.backbone(torch.from_numpy(x))
+        f_outs = fmodel.net.apply(
+            variables, jnp.asarray(x.transpose(0, 2, 3, 1)), train=False,
+            method=fmodel.net.extract_feat)
+        for s, (t, f) in enumerate(zip(t_outs, f_outs)):
+            t = t.numpy()
+            f = np.asarray(f, np.float32).transpose(0, 3, 1, 2)
+            assert f.shape == t.shape, \
+                f'branch {s}: {f.shape} vs {t.shape}'
+            np.testing.assert_allclose(
+                f, t, rtol=1e-4, atol=1e-4,
+                err_msg=f'HRNet branch {s} diverged')
+
+    def test_logit_parity(self, setup):
+        tmodel, fmodel, variables = setup
+        x = np.random.RandomState(53).randn(2, 3, 64, 64).astype(np.float32)
+        with torch.no_grad():
+            t_logits = tmodel(torch.from_numpy(x)).numpy()
+        outs = fmodel.net.apply(variables,
+                                jnp.asarray(x.transpose(0, 2, 3, 1)),
+                                train=False, with_aux=False)
+        f_logits = np.asarray(outs['decode'], np.float32).transpose(
+            0, 3, 1, 2)
+        np.testing.assert_allclose(f_logits, t_logits, rtol=1e-4, atol=1e-4)
+
+    def test_step0_gradient_cosine_f64(self, setup):
+        tmodel, fmodel, variables = setup
+        _grad_cosine_f64(tmodel, _hrnet_cfg(), variables, seed=54)
