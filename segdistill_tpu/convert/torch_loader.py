@@ -35,6 +35,11 @@ _KEY_RULES = [
     (r'\bfpn_convs\.(\d+)\.', r'fpn_convs_\1.'),
     (r'\bconvs\.(\d+)\.', r'convs_\1.'),
     (r'\baspp_modules\.(\d+)\.', r'aspp_\1.'),
+    # LRASPP head (ref mmseg/models/decode_heads/lraspp_head.py:33-66):
+    # named Sequential children + the image_pool Sequential slot.
+    (r'\bconvs\.conv(\d)\.', r'convs_\1.'),
+    (r'\bconv_ups\.conv_up(\d)\.', r'conv_ups_\1.'),
+    (r'\bimage_pool\.1\.', 'image_pool_conv.'),
     # HRNet (ref mmseg/models/backbones/hrnet.py:290-543). Sequential
     # index -> ConvModule child; the 3-index transition chain / 5-index
     # fuse rules must precede their shorter 2-/4-index variants. The

@@ -1,5 +1,12 @@
 """Lite R-ASPP head for MobileNetV3
-(ref contract: mmseg/models/decode_heads/lraspp_head.py:90LoC)."""
+(ref contract: mmseg/models/decode_heads/lraspp_head.py:12-90).
+
+Reference-faithful details: the lateral ``convs`` are bare bias-free 1x1
+convs (no norm/act, ref :33-38); a biased 1x1 ``conv_up_input`` follows
+the gated aspp product (:50); the image-pool gate is a 49x49 average pool
+with stride (16, 20), VALID padding (:59-66) — NOT global pooling, so the
+head requires its coarsest input to be at least 49x49 (inherited from the
+reference; it targets 512x1024-style inputs)."""
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -23,20 +30,25 @@ class LRASPPHead(BaseDecodeHead):
         aspp = ConvModule(out_channels=self.channels, kernel_size=1,
                           norm_cfg=self.norm_cfg, act_cfg=self.act_cfg,
                           name='aspp_conv')(out, train=train)
-        # image-pool gate (49x49 avgpool stride 16..20 in torch; global
-        # pooling is the standard simplification at seg resolutions)
-        gate = jnp.mean(out, axis=(1, 2), keepdims=True)
+        # image-pool gate: AvgPool2d(49, stride=(16, 20)) + sigmoid conv.
+        # Window clamped to the input size for small inputs — where the
+        # reference errors outright; identical whenever H, W >= 49.
+        win = (min(49, out.shape[1]), min(49, out.shape[2]))
+        gate = nn.avg_pool(out, win, strides=(16, 20), padding='VALID')
         gate = ConvModule(out_channels=self.channels, kernel_size=1,
-                          act_cfg=dict(type='Sigmoid'),
+                          bias=False, act_cfg=dict(type='Sigmoid'),
                           name='image_pool_conv')(gate, train=train)
+        gate = resize(gate, size=out.shape[1:3], mode='bilinear',
+                      align_corners=self.align_corners)
         out = aspp * gate
+        out = nn.Conv(self.channels, (1, 1),
+                      dtype=out.dtype, name='conv_up_input')(out)
         for i in range(len(x) - 2, -1, -1):
             out = resize(out, size=x[i].shape[1:3], mode='bilinear',
                          align_corners=self.align_corners)
-            lateral = ConvModule(out_channels=self.branch_channels[i],
-                                 kernel_size=1, norm_cfg=self.norm_cfg,
-                                 act_cfg=self.act_cfg,
-                                 name=f'convs_{i}')(x[i], train=train)
+            lateral = nn.Conv(self.branch_channels[i], (1, 1),
+                              use_bias=False, dtype=x[i].dtype,
+                              name=f'convs_{i}')(x[i])
             out = ConvModule(out_channels=self.channels, kernel_size=1,
                              norm_cfg=self.norm_cfg, act_cfg=self.act_cfg,
                              name=f'conv_ups_{i}')(

@@ -46,6 +46,7 @@ class InvertedResidualV3(nn.Module):
     mid_channels: int = None
     kernel_size: int = 3
     stride: int = 1
+    dilation: int = 1  # MNv3 seg conversion dilates the depthwise conv
     se_cfg: dict = None
     with_expand_conv: bool = True
     norm_cfg: dict = None
@@ -63,7 +64,8 @@ class InvertedResidualV3(nn.Module):
                              name='expand_conv')(out, train)
         out = ConvModule(out_channels=self.mid_channels,
                          kernel_size=self.kernel_size, stride=self.stride,
-                         padding=self.kernel_size // 2,
+                         padding=self.dilation * (self.kernel_size - 1) // 2,
+                         dilation=self.dilation,
                          groups=self.mid_channels,
                          norm_cfg=self.norm_cfg, act_cfg=act_cfg,
                          name='depthwise_conv')(out, train)
