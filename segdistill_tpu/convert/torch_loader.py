@@ -35,6 +35,9 @@ _KEY_RULES = [
     (r'\bfpn_convs\.(\d+)\.', r'fpn_convs_\1.'),
     (r'\bconvs\.(\d+)\.', r'convs_\1.'),
     (r'\baspp_modules\.(\d+)\.', r'aspp_\1.'),
+    # DeepLabV3+ head (ref sep_aspp_head.py:62-77): Sequential slots
+    (r'\bsep_bottleneck\.0\.', 'sep_conv1.'),
+    (r'\bsep_bottleneck\.1\.', 'sep_conv2.'),
     # LRASPP head (ref mmseg/models/decode_heads/lraspp_head.py:33-66):
     # named Sequential children + the image_pool Sequential slot.
     (r'\bconvs\.conv(\d)\.', r'convs_\1.'),

@@ -14,7 +14,7 @@ from .decode_head import BaseDecodeHead
 class ASPPHead(BaseDecodeHead):
     dilations: tuple = (1, 6, 12, 18)
 
-    def _aspp_branches(self, x, train):
+    def _aspp_branches(self, x, train, separable=False):
         outs = []
         # image-level pooling branch
         pooled = jnp.mean(x, axis=(1, 2), keepdims=True)
@@ -24,6 +24,16 @@ class ASPPHead(BaseDecodeHead):
         outs.append(resize(pooled, size=x.shape[1:3], mode='bilinear',
                            align_corners=self.align_corners))
         for i, d in enumerate(self.dilations):
+            if separable and d > 1:
+                # DeepLabV3+ replaces dilated branches with depthwise-
+                # separable convs (ref sep_aspp_head.py:10-25)
+                from ..utils import DepthwiseSeparableConvModule
+                outs.append(DepthwiseSeparableConvModule(
+                    out_channels=self.channels, kernel_size=3,
+                    padding=d, dilation=d, norm_cfg=self.norm_cfg,
+                    act_cfg=self.act_cfg,
+                    name=f'aspp_{i}')(x, train=train))
+                continue
             k = 1 if d == 1 else 3
             outs.append(ConvModule(
                 out_channels=self.channels, kernel_size=k,

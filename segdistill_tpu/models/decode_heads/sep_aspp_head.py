@@ -18,7 +18,7 @@ class DepthwiseSeparableASPPHead(ASPPHead):
     @nn.compact
     def __call__(self, inputs, train=False):
         x = self._transform_inputs(inputs)
-        outs = self._aspp_branches(x, train)
+        outs = self._aspp_branches(x, train, separable=True)
         out = ConvModule(out_channels=self.channels, kernel_size=3,
                          padding=1, norm_cfg=self.norm_cfg,
                          act_cfg=self.act_cfg, name='bottleneck')(

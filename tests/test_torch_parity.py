@@ -952,3 +952,88 @@ class TestMobileNetV3LRASPPParity:
         tmodel, fmodel, variables = setup
         _grad_cosine_f64(tmodel, _mnv3_cfg(), variables, seed=64,
                          img_hw=128)
+
+
+def _build_torch_dlv3p(num_classes=19, channels=64):
+    from torch_ref.aspp import ASPPHead
+    from torch_ref.heads import EncoderDecoder
+    from torch_ref.resnet import ResNetV1c
+    head = ASPPHead(2048, channels, num_classes, separable=True,
+                    c1_in_channels=256, c1_channels=48)
+    return EncoderDecoder(ResNetV1c(depth=50), head)
+
+
+def _dlv3p_cfg(num_classes=19, channels=64):
+    return dict(
+        type='EncoderDecoder',
+        backbone=dict(type='ResNetV1c', depth=50, num_stages=4,
+                      out_indices=(0, 1, 2, 3), dilations=(1, 1, 2, 4),
+                      strides=(1, 2, 1, 1), norm_cfg=NORM,
+                      contract_dilation=True),
+        decode_head=dict(
+            type='DepthwiseSeparableASPPHead', in_channels=2048,
+            in_index=3, channels=channels, dilations=(1, 12, 24, 36),
+            c1_in_channels=256, c1_channels=48, dropout_ratio=0.0,
+            num_classes=num_classes, norm_cfg=NORM, align_corners=False),
+        test_cfg=dict(mode='whole'))
+
+
+class TestDeepLabV3PlusParity:
+    """DeepLabV3+ (R50-d8 + DepthwiseSeparableASPPHead) through the
+    production converter. Pins the V3+ module swap this framework got
+    wrong (dilated ASPP branches must be depthwise-separable, ref
+    sep_aspp_head.py:10-25), the c1 low-level decoder, and the
+    sep_bottleneck Sequential naming."""
+
+    @pytest.fixture(scope='class')
+    def setup(self, tmp_path_factory):
+        tmodel = _randomize(_build_torch_dlv3p(), seed=71).eval()
+        fmodel = build_segmentor(_dlv3p_cfg())
+        variables = _convert(fmodel, tmodel,
+                             tmp_path_factory.mktemp('dlv3p'),
+                             (1, 64, 64, 3))
+        return tmodel, fmodel, variables
+
+    def test_logit_parity(self, setup):
+        tmodel, fmodel, variables = setup
+        x = np.random.RandomState(72).randn(2, 3, 64, 64).astype(np.float32)
+        with torch.no_grad():
+            t_logits = tmodel(torch.from_numpy(x)).numpy()
+        outs = fmodel.net.apply(variables,
+                                jnp.asarray(x.transpose(0, 2, 3, 1)),
+                                train=False, with_aux=False)
+        f_logits = np.asarray(outs['decode'], np.float32).transpose(
+            0, 3, 1, 2)
+        np.testing.assert_allclose(f_logits, t_logits, rtol=1e-4, atol=1e-4)
+
+    def test_step0_gradient_cosine_f64(self, setup):
+        tmodel, fmodel, variables = setup
+        _grad_cosine_f64(tmodel, _dlv3p_cfg(), variables, seed=74)
+
+
+class TestASPPHeadParity:
+    """Plain ASPPHead (DeepLabV3) head-only vs the torch oracle — covers
+    the non-separable dilated branches the V3+ test doesn't."""
+
+    def test_head_logits(self, tmp_path):
+        from torch_ref.aspp import ASPPHead as TASPP
+        from segdistill_tpu.models.builder import build_head
+        from segdistill_tpu.convert.torch_loader import translate_state_dict
+        thead = _randomize(TASPP(96, 32, 19, in_index=0), seed=81).eval()
+        fhead = build_head(dict(
+            type='ASPPHead', in_channels=96, in_index=0, channels=32,
+            dilations=(1, 12, 24, 36), dropout_ratio=0.0, num_classes=19,
+            norm_cfg=NORM, align_corners=False))
+        x = np.random.RandomState(82).randn(2, 96, 16, 16).astype(
+            np.float32)
+        feats = [jnp.asarray(x.transpose(0, 2, 3, 1))]
+        variables = fhead.init({'params': jax.random.PRNGKey(0)}, feats)
+        sd = {k: t.numpy() for k, t in thead.state_dict().items()}
+        nv, matched, missing, unexpected = translate_state_dict(
+            sd, variables)
+        assert not missing and not unexpected, (missing, unexpected)
+        with torch.no_grad():
+            t_out = thead([torch.from_numpy(x)]).numpy()
+        f_out = np.asarray(fhead.apply(nv, feats),
+                           np.float32).transpose(0, 3, 1, 2)
+        np.testing.assert_allclose(f_out, t_out, rtol=1e-4, atol=1e-4)
