@@ -78,8 +78,13 @@ _KEY_RULES = [
     (r'\bstem\.0\.', 'stem_conv1.'), (r'\bstem\.1\.', 'stem_bn1.'),
     (r'\bstem\.3\.', 'stem_conv2.'), (r'\bstem\.4\.', 'stem_bn2.'),
     (r'\bstem\.6\.', 'stem_conv3.'), (r'\bstem\.7\.', 'stem_bn3.'),
+    # plain residual downsample: Sequential(conv, bn). The V1d/ResNeSt
+    # avg_down layout Sequential(pool, conv, bn) shifts conv to .1 and
+    # bn to .2 (ref models/utils/res_layer.py:44-62); .1-as-conv is
+    # recovered shape-wise via the _BASE_ALTERNATES fallback below.
     (r'\bdownsample\.0\.', 'downsample.conv.'),
     (r'\bdownsample\.1\.', 'downsample.bn.'),
+    (r'\bdownsample\.2\.', 'downsample.bn.'),
     # Fast-SCNN module names (ref mmseg/models/backbones/fast_scnn.py:
     # 335-360) -> this framework's flat child names; bottleneckN.M then
     # falls through to the InvertedResidual Sequential rules below.
@@ -108,6 +113,10 @@ _KEY_RULES = [
 # structural alternates tried when the direct path is absent
 _BASE_ALTERNATES = [
     (r'^decode_head\.bottleneck\.', 'decode_head.psp_bottleneck.'),
+    # avg_down downsample: torch 'downsample.1.weight' is the CONV (4D)
+    # there, not the bn scale — the bn candidates fail on shape and this
+    # alternate reroutes to the conv kernel
+    (r'^(.*\bdownsample)\.bn\.', r'\1.conv.'),
 ]
 
 

@@ -35,12 +35,18 @@ class SplitAttentionConv(nn.Module):
         out = nn.relu(out)
         b, h, w, _ = out.shape
         splits = out.reshape(b, h, w, r, self.channels)
-        gap = jnp.sum(splits, axis=3).mean(axis=(1, 2))  # (B, C)
-        gap = nn.Dense(inter, dtype=x.dtype, name='fc1')(gap)
-        gap = nn.relu(NormLayer(self.norm_cfg, name='bn1')(
-            gap[:, None, None, :], train=train))[:, 0, 0]
-        atten = nn.Dense(self.channels * r, dtype=x.dtype,
-                         name='fc2')(gap).reshape(b, r, self.channels)
+        # fc1/fc2 are 1x1 grouped convs in the reference (resnest.py:
+        # 100-106) — kept as convs on the (B,1,1,C) pooled map so the
+        # checkpoint converter's 4D kernel path applies
+        gap = jnp.sum(splits, axis=3).mean(axis=(1, 2),
+                                           keepdims=True)  # (B,1,1,C)
+        gap = nn.Conv(inter, (1, 1), feature_group_count=self.groups,
+                      dtype=x.dtype, name='fc1')(gap)
+        gap = nn.relu(NormLayer(self.norm_cfg, name='bn1')(gap,
+                                                           train=train))
+        atten = nn.Conv(self.channels * r, (1, 1),
+                        feature_group_count=self.groups, dtype=x.dtype,
+                        name='fc2')(gap).reshape(b, r, self.channels)
         atten = nn.softmax(atten, axis=1) if r > 1 else nn.sigmoid(atten)
         return jnp.sum(splits * atten[:, None, None], axis=3)
 
@@ -93,10 +99,18 @@ class SABottleneck(nn.Module):
 
 @BACKBONES.register_module(name='ResNeSt')
 def ResNeSt(depth=50, radix=2, reduction_factor=4, avg_down_stride=True,
-            **kwargs):
+            groups=1, base_width=4, **kwargs):
     """Registered as a parameterization of ResNet with the split-attention
     bottleneck swapped in via arch override."""
     kwargs.pop('style', None)
+    if (radix, reduction_factor, avg_down_stride, groups, base_width) != \
+            (2, 4, True, 1, 4):
+        # SABottleneck fields carry these as defaults; non-default values
+        # are not threaded through the ResNet stage loop
+        raise NotImplementedError(
+            'ResNeSt supports the reference defaults radix=2, '
+            'reduction_factor=4, avg_down_stride=True, groups=1, '
+            'base_width=4 (ref resnest.py:289-300)')
 
     class _ResNeSt(ResNet):
         arch_settings = {

@@ -565,11 +565,16 @@ def _grad_cosine_f64(tmodel, cfg, variables, num_classes=19, seed=14,
     for tk, tg in tgrads.items():
         comps = _translate_base(tk).split('.')
         if tk.endswith('weight'):
-            cands = (['.'.join(comps[:-1]) + '.kernel']
-                     if tg.ndim >= 2 else
-                     ['.'.join(comps[:-1]) + '.scale',
-                      '.'.join(comps[:-1]) + '.bn.scale',
-                      '.'.join(comps)])  # PReLU slope keeps '.weight'
+            if tg.ndim >= 2:
+                base = '.'.join(comps[:-1])
+                cands = [base + '.kernel']
+                if base.endswith('downsample.bn'):
+                    # avg_down layout: torch downsample.1 is the conv
+                    cands.append(base[:-2] + 'conv.kernel')
+            else:
+                cands = ['.'.join(comps[:-1]) + '.scale',
+                         '.'.join(comps[:-1]) + '.bn.scale',
+                         '.'.join(comps)]  # PReLU slope keeps '.weight'
         else:
             cands = ['.'.join(comps[:-1]) + '.bias',
                      '.'.join(comps[:-1]) + '.bn.bias']
@@ -1037,3 +1042,72 @@ class TestASPPHeadParity:
         f_out = np.asarray(fhead.apply(nv, feats),
                            np.float32).transpose(0, 3, 1, 2)
         np.testing.assert_allclose(f_out, t_out, rtol=1e-4, atol=1e-4)
+
+
+def _build_torch_resnest(num_classes=19, channels=64):
+    from torch_ref.heads import EncoderDecoder, PSPHead
+    from torch_ref.resnest import ResNeSt
+    return EncoderDecoder(ResNeSt(depth=50),
+                          PSPHead(2048, channels, num_classes))
+
+
+def _resnest_cfg(num_classes=19, channels=64):
+    return dict(
+        type='EncoderDecoder',
+        backbone=dict(type='ResNeSt', depth=50, num_stages=4,
+                      out_indices=(0, 1, 2, 3), dilations=(1, 1, 2, 4),
+                      strides=(1, 2, 1, 1), norm_cfg=NORM,
+                      contract_dilation=True),
+        decode_head=dict(
+            type='PSPHead', in_channels=2048, in_index=3,
+            channels=channels, pool_scales=(1, 2, 3, 6), dropout_ratio=0.0,
+            num_classes=num_classes, norm_cfg=NORM, align_corners=False),
+        test_cfg=dict(mode='whole'))
+
+
+class TestResNeStParity:
+    """ResNeSt-50-d8 + PSPHead through the production converter. Pins the
+    split-attention layout (radix-major channel splits, grouped radix
+    conv, fc1/fc2 as 1x1 convs with the bn1 island), the avd pool
+    placement (after the split-attention conv), and the V1d avg_down
+    downsample key layout (pool at .0 shifts conv/bn to .1/.2)."""
+
+    @pytest.fixture(scope='class')
+    def setup(self, tmp_path_factory):
+        tmodel = _randomize(_build_torch_resnest(), seed=91).eval()
+        fmodel = build_segmentor(_resnest_cfg())
+        variables = _convert(fmodel, tmodel,
+                             tmp_path_factory.mktemp('resnest'),
+                             (1, 64, 64, 3))
+        return tmodel, fmodel, variables
+
+    def test_backbone_stage_parity(self, setup):
+        tmodel, fmodel, variables = setup
+        x = np.random.RandomState(92).randn(2, 3, 64, 64).astype(np.float32)
+        with torch.no_grad():
+            t_outs = tmodel.backbone(torch.from_numpy(x))
+        f_outs = fmodel.net.apply(
+            variables, jnp.asarray(x.transpose(0, 2, 3, 1)), train=False,
+            method=fmodel.net.extract_feat)
+        for s, (t, f) in enumerate(zip(t_outs, f_outs)):
+            t = t.numpy()
+            f = np.asarray(f, np.float32).transpose(0, 3, 1, 2)
+            np.testing.assert_allclose(
+                f, t, rtol=1e-4, atol=1e-4,
+                err_msg=f'ResNeSt stage {s} diverged')
+
+    def test_logit_parity(self, setup):
+        tmodel, fmodel, variables = setup
+        x = np.random.RandomState(93).randn(2, 3, 64, 64).astype(np.float32)
+        with torch.no_grad():
+            t_logits = tmodel(torch.from_numpy(x)).numpy()
+        outs = fmodel.net.apply(variables,
+                                jnp.asarray(x.transpose(0, 2, 3, 1)),
+                                train=False, with_aux=False)
+        f_logits = np.asarray(outs['decode'], np.float32).transpose(
+            0, 3, 1, 2)
+        np.testing.assert_allclose(f_logits, t_logits, rtol=1e-4, atol=1e-4)
+
+    def test_step0_gradient_cosine_f64(self, setup):
+        tmodel, fmodel, variables = setup
+        _grad_cosine_f64(tmodel, _resnest_cfg(), variables, seed=94)
