@@ -35,6 +35,16 @@ _KEY_RULES = [
     (r'\bfpn_convs\.(\d+)\.', r'fpn_convs_\1.'),
     (r'\bconvs\.(\d+)\.', r'convs_\1.'),
     (r'\baspp_modules\.(\d+)\.', r'aspp_\1.'),
+    # UNet (ref unet.py:333-373 + up_conv_block.py): the encoder stage
+    # Sequential may start with a param-free MaxPool, so the block index
+    # is dropped; InterpConv's conv sits at interp_upsample slot 1.
+    # These run AFTER the generic convs.N -> convs_N rule above, so they
+    # match the rewritten form.
+    (r'\bencoder\.(\d)\.(\d)\.convs_(\d)\.', r'encoder_\1.convs_\3.'),
+    (r'\bdecoder\.(\d)\.conv_block\.convs_(\d)\.',
+     r'decoder_\1.convs_\2.'),
+    (r'\bdecoder\.(\d)\.upsample\.interp_upsample\.1\.', r'up_conv_\1.'),
+    (r'\bdecoder\.(\d)\.upsample\.(?=(?:conv|bn)\.)', r'up_conv_\1.'),
     # DeepLabV3+ head (ref sep_aspp_head.py:62-77): Sequential slots
     (r'\bsep_bottleneck\.0\.', 'sep_conv1.'),
     (r'\bsep_bottleneck\.1\.', 'sep_conv2.'),

@@ -1111,3 +1111,83 @@ class TestResNeStParity:
     def test_step0_gradient_cosine_f64(self, setup):
         tmodel, fmodel, variables = setup
         _grad_cosine_f64(tmodel, _resnest_cfg(), variables, seed=94)
+
+
+_UNET_VARIANTS = {
+    # the reference default: every stage max-pools, every decoder
+    # InterpConv-upsamples
+    'default': dict(strides=(1, 1, 1, 1, 1),
+                    downsamples=(True, True, True, True)),
+    # stride-conv downsampling (stage 2), a no-downsample stage (1) and
+    # therefore a decoder whose upsample degenerates to a plain 1x1
+    # ConvModule (ref up_conv_block.py:76-92)
+    'strided': dict(strides=(1, 1, 2, 1, 1),
+                    downsamples=(False, True, True, True)),
+}
+
+
+def _build_torch_unet(variant, num_classes=19, base=16):
+    from torch_ref.heads import EncoderDecoder, FCNHead
+    from torch_ref.unet import UNet
+    head = FCNHead(base, 32, num_classes, in_index=4)
+    return EncoderDecoder(UNet(base_channels=base,
+                               **_UNET_VARIANTS[variant]), head)
+
+
+def _unet_cfg(variant, num_classes=19, base=16):
+    return dict(
+        type='EncoderDecoder',
+        backbone=dict(type='UNet', base_channels=base, norm_cfg=NORM,
+                      **_UNET_VARIANTS[variant]),
+        decode_head=dict(
+            type='FCNHead', in_channels=base, channels=32, num_convs=1,
+            concat_input=False, num_classes=num_classes, in_index=4,
+            dropout_ratio=0.0, norm_cfg=NORM, align_corners=False),
+        test_cfg=dict(mode='whole'))
+
+
+class TestUNetParity:
+    """UNet-S5 through the production converter, two structural variants.
+    Pins the BasicConvBlock first-conv contract (stride lives there,
+    dilation is always 1 on it), the MaxPool-vs-stride-conv encoder
+    split, the InterpConv upsample-then-1x1 order, and the degenerate
+    no-upsample decoder ConvModule."""
+
+    @pytest.fixture(scope='class', params=list(_UNET_VARIANTS))
+    def setup(self, request, tmp_path_factory):
+        variant = request.param
+        tmodel = _randomize(_build_torch_unet(variant), seed=101).eval()
+        fmodel = build_segmentor(_unet_cfg(variant))
+        variables = _convert(fmodel, tmodel,
+                             tmp_path_factory.mktemp(f'unet_{variant}'),
+                             (1, 64, 64, 3))
+        return variant, tmodel, fmodel, variables
+
+    def test_stage_and_logit_parity(self, setup):
+        variant, tmodel, fmodel, variables = setup
+        x = np.random.RandomState(102).randn(2, 3, 64, 64).astype(
+            np.float32)
+        with torch.no_grad():
+            t_outs = tmodel.backbone(torch.from_numpy(x))
+            t_logits = tmodel(torch.from_numpy(x)).numpy()
+        f_outs = fmodel.net.apply(
+            variables, jnp.asarray(x.transpose(0, 2, 3, 1)), train=False,
+            method=fmodel.net.extract_feat)
+        for s, (t, f) in enumerate(zip(t_outs, f_outs)):
+            t = t.numpy()
+            f = np.asarray(f, np.float32).transpose(0, 3, 1, 2)
+            assert f.shape == t.shape, \
+                f'[{variant}] stage {s}: {f.shape} vs {t.shape}'
+            np.testing.assert_allclose(
+                f, t, rtol=1e-4, atol=1e-4,
+                err_msg=f'[{variant}] UNet stage {s} diverged')
+        outs = fmodel.net.apply(variables,
+                                jnp.asarray(x.transpose(0, 2, 3, 1)),
+                                train=False, with_aux=False)
+        f_logits = np.asarray(outs['decode'], np.float32).transpose(
+            0, 3, 1, 2)
+        np.testing.assert_allclose(f_logits, t_logits, rtol=1e-4, atol=1e-4)
+
+    def test_step0_gradient_cosine_f64(self, setup):
+        variant, tmodel, fmodel, variables = setup
+        _grad_cosine_f64(tmodel, _unet_cfg(variant), variables, seed=104)
