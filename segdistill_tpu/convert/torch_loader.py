@@ -45,6 +45,24 @@ _KEY_RULES = [
      r'decoder_\1.convs_\2.'),
     (r'\bdecoder\.(\d)\.upsample\.interp_upsample\.1\.', r'up_conv_\1.'),
     (r'\bdecoder\.(\d)\.upsample\.(?=(?:conv|bn)\.)', r'up_conv_\1.'),
+    # cascade segmentors (ref cascade_encoder_decoder.py): indexed heads
+    (r'\bdecode_head\.(\d)\.', r'decode_heads_\1.'),
+    # OCR head (ref ocr_head.py:39-127): the ObjectAttentionBlock's inner
+    # bottleneck lands on 'conv_bn'; the block itself on
+    # 'object_attention'. Order matters (longest first).
+    (r'\bobject_context_block\.bottleneck\.', 'conv_bn.'),
+    (r'\bobject_context_block\.', 'object_attention.'),
+    # SelfAttentionBlock projections (ref self_attention_block.py:
+    # 99-129): bare convs when use_conv_module=False, ConvModule(s)
+    # otherwise, Sequential only when num_convs > 1. All land on this
+    # framework's {name}_project_{i}[.conv] children.
+    (r'\b(key|query|value|out)_project\.(\d)\.(?=(?:conv|bn)\.)',
+     r'\1_project_\2.'),
+    (r'\b(key|query|value|out)_project\.(\d)\.(?=\w+$)',
+     r'\1_project_\2.conv.'),
+    (r'\b(key|query|value|out)_project\.(?=(?:conv|bn)\.)',
+     r'\1_project_0.'),
+    (r'\b(key|query|value|out)_project\.(?=\w+$)', r'\1_project_0.conv.'),
     # DeepLabV3+ head (ref sep_aspp_head.py:62-77): Sequential slots
     (r'\bsep_bottleneck\.0\.', 'sep_conv1.'),
     (r'\bsep_bottleneck\.1\.', 'sep_conv2.'),

@@ -73,8 +73,9 @@ class Bottleneck(nn.Module):
     def __call__(self, x, train=False):
         identity = x
         if self.use_groups:
-            width = (self.planes * self.width_per_group * self.groups
-                     // self.base_channels)
+            # ref resnext.py:27-31: floor BEFORE multiplying by groups
+            width = (self.planes * self.width_per_group
+                     // self.base_channels) * self.groups
             groups = self.groups
         else:
             width = self.planes

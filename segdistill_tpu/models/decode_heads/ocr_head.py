@@ -38,8 +38,9 @@ class OCRHead(BaseCascadeDecodeHead):
         # spatial gather: class-probability-weighted feature centroids
         b, h, w, c = feats.shape
         probs = nn.softmax(
-            prev_output.reshape(b, -1, prev_output.shape[-1]).astype(
-                jnp.float32), axis=1)  # (B, N, K) over pixels
+            self.scale
+            * prev_output.reshape(b, -1, prev_output.shape[-1]).astype(
+                jnp.float32), axis=1)  # (B, N, K) over pixels (ref :32)
         ctx = jnp.einsum('bnk,bnc->bkc', probs,
                          feats.reshape(b, -1, c).astype(jnp.float32))
         ctx = ctx[:, None].astype(feats.dtype)  # (B, 1, K, C)

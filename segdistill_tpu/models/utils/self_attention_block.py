@@ -69,6 +69,9 @@ class SelfAttentionBlock(nn.Module):
         ctx = jnp.einsum('bqk,bkc->bqc', sim, vf).astype(query_feats.dtype)
         ctx = ctx.reshape(b, hq, wq, -1)
         if self.with_out:
-            ctx = self._project(ctx, self.out_channels, 1,
+            # ref self_attention_block.py:76-83: out_project uses
+            # value_out_num_convs too
+            ctx = self._project(ctx, self.out_channels,
+                                self.value_out_num_convs,
                                 self.value_out_norm, 'out_project', train)
         return ctx

@@ -1191,3 +1191,122 @@ class TestUNetParity:
     def test_step0_gradient_cosine_f64(self, setup):
         variant, tmodel, fmodel, variables = setup
         _grad_cosine_f64(tmodel, _unet_cfg(variant), variables, seed=104)
+
+
+def _build_torch_resnext(num_classes=19, channels=64):
+    from torch_ref.heads import EncoderDecoder, FCNHead
+    from torch_ref.resnet import ResNeXt
+    return EncoderDecoder(ResNeXt(depth=50),
+                          FCNHead(2048, channels, num_classes, in_index=3))
+
+
+def _resnext_cfg(num_classes=19, channels=64):
+    return dict(
+        type='EncoderDecoder',
+        backbone=dict(type='ResNeXt', depth=50, groups=32, base_width=4,
+                      num_stages=4, out_indices=(0, 1, 2, 3),
+                      dilations=(1, 1, 2, 4), strides=(1, 2, 1, 1),
+                      norm_cfg=NORM, contract_dilation=True,
+                      deep_stem=True),
+        decode_head=dict(
+            type='FCNHead', in_channels=2048, in_index=3,
+            channels=channels, num_convs=1, concat_input=False,
+            dropout_ratio=0.0, num_classes=num_classes, norm_cfg=NORM,
+            align_corners=False),
+        test_cfg=dict(mode='whole'))
+
+
+class TestResNeXtParity:
+    """ResNeXt-50-32x4d-d8 through the production converter: grouped
+    bottleneck width = floor(planes*base_width/base_channels)*groups
+    (floor BEFORE the groups multiply, ref resnext.py:27-31)."""
+
+    @pytest.fixture(scope='class')
+    def setup(self, tmp_path_factory):
+        tmodel = _randomize(_build_torch_resnext(), seed=111).eval()
+        fmodel = build_segmentor(_resnext_cfg())
+        variables = _convert(fmodel, tmodel,
+                             tmp_path_factory.mktemp('resnext'),
+                             (1, 64, 64, 3))
+        return tmodel, fmodel, variables
+
+    def test_logit_parity(self, setup):
+        tmodel, fmodel, variables = setup
+        x = np.random.RandomState(112).randn(2, 3, 64, 64).astype(
+            np.float32)
+        with torch.no_grad():
+            t_logits = tmodel(torch.from_numpy(x)).numpy()
+        outs = fmodel.net.apply(variables,
+                                jnp.asarray(x.transpose(0, 2, 3, 1)),
+                                train=False, with_aux=False)
+        f_logits = np.asarray(outs['decode'], np.float32).transpose(
+            0, 3, 1, 2)
+        np.testing.assert_allclose(f_logits, t_logits, rtol=1e-4, atol=1e-4)
+
+    def test_step0_gradient_cosine_f64(self, setup):
+        tmodel, fmodel, variables = setup
+        _grad_cosine_f64(tmodel, _resnext_cfg(), variables, seed=114)
+
+
+def _build_torch_ocrnet(num_classes=19):
+    from torch_ref.heads import FCNHead
+    from torch_ref.ocr import CascadeEncoderDecoder, OCRHead
+    from torch_ref.resnet import ResNetV1c
+    return CascadeEncoderDecoder(
+        ResNetV1c(depth=50),
+        [FCNHead(1024, 64, num_classes, in_index=2),
+         OCRHead(2048, 64, 32, num_classes, in_index=3)])
+
+
+def _ocrnet_cfg(num_classes=19):
+    return dict(
+        type='CascadeEncoderDecoder', num_stages=2,
+        backbone=dict(type='ResNetV1c', depth=50, num_stages=4,
+                      out_indices=(0, 1, 2, 3), dilations=(1, 1, 2, 4),
+                      strides=(1, 2, 1, 1), norm_cfg=NORM,
+                      contract_dilation=True),
+        decode_head=[
+            dict(type='FCNHead', in_channels=1024, in_index=2, channels=64,
+                 num_convs=1, concat_input=False, dropout_ratio=0.0,
+                 num_classes=num_classes, norm_cfg=NORM,
+                 align_corners=False),
+            dict(type='OCRHead', in_channels=2048, in_index=3, channels=64,
+                 ocr_channels=32, dropout_ratio=0.0,
+                 num_classes=num_classes, norm_cfg=NORM,
+                 align_corners=False)],
+        test_cfg=dict(mode='whole'))
+
+
+class TestOCRNetParity:
+    """OCRNet (R50-d8 cascade: FCN stage 0 -> OCR stage 1) through the
+    production converter. Pins the cascade composition (stage-1 consumes
+    stage-0 logits), the spatial-gather softmax-over-pixels, the
+    ObjectAttentionBlock projection stack (2 normed key/query convs,
+    matmul_norm) and its inner bottleneck ('conv_bn'), and the
+    SelfAttentionBlock projection key layouts."""
+
+    @pytest.fixture(scope='class')
+    def setup(self, tmp_path_factory):
+        tmodel = _randomize(_build_torch_ocrnet(), seed=121).eval()
+        fmodel = build_segmentor(_ocrnet_cfg())
+        variables = _convert(fmodel, tmodel,
+                             tmp_path_factory.mktemp('ocrnet'),
+                             (1, 64, 64, 3))
+        return tmodel, fmodel, variables
+
+    def test_logit_parity(self, setup):
+        tmodel, fmodel, variables = setup
+        x = np.random.RandomState(122).randn(2, 3, 64, 64).astype(
+            np.float32)
+        with torch.no_grad():
+            t_logits = tmodel(torch.from_numpy(x)).numpy()
+        outs = fmodel.net.apply(variables,
+                                jnp.asarray(x.transpose(0, 2, 3, 1)),
+                                train=False, with_aux=False)
+        f_logits = np.asarray(outs['decode'], np.float32).transpose(
+            0, 3, 1, 2)
+        np.testing.assert_allclose(f_logits, t_logits, rtol=1e-4, atol=1e-4)
+
+    def test_step0_gradient_cosine_f64(self, setup):
+        tmodel, fmodel, variables = setup
+        _grad_cosine_f64(tmodel, _ocrnet_cfg(), variables, seed=124)

@@ -78,3 +78,63 @@ class ResNetV1c(nn.Module):
             x = getattr(self, f'layer{s + 1}')(x)
             outs.append(x)
         return outs
+
+
+class XBottleneck(nn.Module):
+    """ResNeXt Bottleneck (ref resnext.py:10-86): grouped 3x3, width =
+    floor(planes * base_width / base_channels) * groups."""
+    expansion = 4
+
+    def __init__(self, inplanes, planes, stride=1, dilation=1,
+                 downsample=None, groups=32, base_width=4,
+                 base_channels=64):
+        super().__init__()
+        width = (planes * base_width // base_channels) * groups
+        self.conv1 = nn.Conv2d(inplanes, width, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(width)
+        self.conv2 = nn.Conv2d(width, width, 3, stride=stride,
+                               padding=dilation, dilation=dilation,
+                               groups=groups, bias=False)
+        self.bn2 = nn.BatchNorm2d(width)
+        self.conv3 = nn.Conv2d(width, planes * 4, 1, bias=False)
+        self.bn3 = nn.BatchNorm2d(planes * 4)
+        self.downsample = downsample
+
+    def forward(self, x):
+        identity = self.downsample(x) if self.downsample is not None else x
+        out = F.relu(self.bn1(self.conv1(x)))
+        out = F.relu(self.bn2(self.conv2(out)))
+        out = self.bn3(self.conv3(out))
+        return F.relu(out + identity)
+
+
+class ResNeXt(ResNetV1c):
+    """ResNeXt-d8 with the V1c deep stem (mmseg 'resnext101_v1c' style);
+    swaps XBottleneck into the V1c skeleton."""
+
+    def __init__(self, depth=50, groups=32, base_width=4, **kwargs):
+        self._groups, self._base_width = groups, base_width
+        super().__init__(depth=depth, **kwargs)
+        # rebuild layers with grouped bottlenecks
+        blocks = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3)}[depth]
+        strides, dilations = (1, 2, 1, 1), (1, 1, 2, 4)
+        inplanes, planes = 64, 64
+        for s, n in enumerate(blocks):
+            stride, dilation = strides[s], dilations[s]
+            layers = []
+            for i in range(n):
+                blk_stride = stride if i == 0 else 1
+                dil = dilation // 2 if (i == 0 and dilation > 1) \
+                    else dilation
+                ds = None
+                if i == 0 and (blk_stride != 1 or inplanes != planes * 4):
+                    ds = nn.Sequential(
+                        nn.Conv2d(inplanes, planes * 4, 1, blk_stride,
+                                  bias=False),
+                        nn.BatchNorm2d(planes * 4))
+                layers.append(XBottleneck(inplanes, planes, blk_stride,
+                                          dil, ds, groups=groups,
+                                          base_width=base_width))
+                inplanes = planes * 4
+            setattr(self, f'layer{s + 1}', nn.Sequential(*layers))
+            planes *= 2
