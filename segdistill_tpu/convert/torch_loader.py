@@ -45,6 +45,9 @@ _KEY_RULES = [
      r'decoder_\1.convs_\2.'),
     (r'\bdecoder\.(\d)\.upsample\.interp_upsample\.1\.', r'up_conv_\1.'),
     (r'\bdecoder\.(\d)\.upsample\.(?=(?:conv|bn)\.)', r'up_conv_\1.'),
+    # mmcv ContextBlock (GCHead): Sequential(conv, LayerNorm, ReLU, conv)
+    (r'\bchannel_add_conv\.(\d)\.', r'channel_add_conv_\1.'),
+    (r'\bchannel_mul_conv\.(\d)\.', r'channel_mul_conv_\1.'),
     # cascade segmentors (ref cascade_encoder_decoder.py): indexed heads
     (r'\bdecode_head\.(\d)\.', r'decode_heads_\1.'),
     # OCR head (ref ocr_head.py:39-127): the ObjectAttentionBlock's inner
@@ -197,6 +200,11 @@ def _convert_tensor(torch_arr, target_shape, is_weight=False):
         return arr.transpose(2, 3, 1, 0)  # conv OIHW -> HWIO
     if arr.shape == tuple(target_shape):
         return arr
+    if not is_weight and arr.ndim > 1 \
+            and np.squeeze(arr).shape == tuple(target_shape):
+        # e.g. mmcv ContextBlock's LayerNorm([planes, 1, 1]) stores
+        # (planes, 1, 1) scale/bias for this framework's (planes,)
+        return np.squeeze(arr)
     return None
 
 

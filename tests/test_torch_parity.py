@@ -1310,3 +1310,38 @@ class TestOCRNetParity:
     def test_step0_gradient_cosine_f64(self, setup):
         tmodel, fmodel, variables = setup
         _grad_cosine_f64(tmodel, _ocrnet_cfg(), variables, seed=124)
+
+
+class TestAttnHeadsParity:
+    """NL / GC / DNL heads head-only vs torch oracles: the
+    FCNHead(num_convs=2)+conv_cat skeleton (the old heads fused convs_1
+    with the concat, dropping a conv), mmcv NonLocal2d's normed
+    conv_out + in-block residual, DNL's temperature on the PAIRWISE
+    logits (was applied to the unary instead), and ContextBlock's
+    conv/LN/ReLU/conv transform under the reference's key layout."""
+
+    @pytest.mark.parametrize('name', ['NLHead', 'GCHead', 'DNLHead'])
+    def test_head_logits(self, name, tmp_path):
+        import torch_ref.attn_heads as oracles
+        from segdistill_tpu.models.builder import build_head
+        from segdistill_tpu.convert.torch_loader import translate_state_dict
+        thead = _randomize(getattr(oracles, name)(96, 32, 19, in_index=0),
+                           seed=131).eval()
+        fhead = build_head(dict(
+            type=name, in_channels=96, in_index=0, channels=32,
+            dropout_ratio=0.0, num_classes=19, norm_cfg=NORM,
+            align_corners=False))
+        x = np.random.RandomState(132).randn(2, 96, 16, 16).astype(
+            np.float32)
+        feats = [jnp.asarray(x.transpose(0, 2, 3, 1))]
+        variables = fhead.init({'params': jax.random.PRNGKey(0)}, feats)
+        sd = {k: t.numpy() for k, t in thead.state_dict().items()}
+        nv, matched, missing, unexpected = translate_state_dict(
+            sd, variables)
+        assert not missing and not unexpected, (missing, unexpected)
+        with torch.no_grad():
+            t_out = thead([torch.from_numpy(x)]).numpy()
+        f_out = np.asarray(fhead.apply(nv, feats),
+                           np.float32).transpose(0, 3, 1, 2)
+        np.testing.assert_allclose(f_out, t_out, rtol=1e-4, atol=1e-4,
+                                   err_msg=f'{name} diverged')

@@ -1,0 +1,149 @@
+"""Torch oracles for NLHead / GCHead / DNLHead (ref mmseg decode_heads/
+{nl_head.py,gc_head.py,dnl_head.py} + mmcv NonLocal2d / ContextBlock).
+
+State-dict layout matches the reference exactly: FCNHead(num_convs=2,
+concat_input=True) skeleton ``convs.{0,1}``/``conv_cat``/``conv_seg``
+with the block at ``nl_block``/``gc_block``/``dnl_block``; NonLocal2d
+children ``g/theta/phi`` (ConvModule, no norm, biased conv) and
+``conv_out`` (ConvModule conv+bn, no act); ContextBlock ``conv_mask`` +
+``channel_add_conv.{0,1,3}`` with LayerNorm([planes, 1, 1]).
+"""
+
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+
+class ConvModule(nn.Module):
+    def __init__(self, in_ch, out_ch, k, padding=0, with_bn=True,
+                 act=True):
+        super().__init__()
+        self.conv = nn.Conv2d(in_ch, out_ch, k, padding=padding,
+                              bias=not with_bn)
+        if with_bn:
+            self.bn = nn.BatchNorm2d(out_ch)
+        self._bn, self._act = with_bn, act
+
+    def forward(self, x):
+        x = self.conv(x)
+        if self._bn:
+            x = self.bn(x)
+        return F.relu(x) if self._act else x
+
+
+class NonLocal2d(nn.Module):
+    """mmcv embedded_gaussian NonLocal2d."""
+
+    def __init__(self, in_channels, reduction=2, use_scale=True):
+        super().__init__()
+        self.inter = max(in_channels // reduction, 1)
+        self.use_scale = use_scale
+        self.g = ConvModule(in_channels, self.inter, 1, with_bn=False,
+                            act=False)
+        self.theta = ConvModule(in_channels, self.inter, 1, with_bn=False,
+                                act=False)
+        self.phi = ConvModule(in_channels, self.inter, 1, with_bn=False,
+                              act=False)
+        self.conv_out = ConvModule(self.inter, in_channels, 1, act=False)
+
+    def forward(self, x):
+        n = x.size(0)
+        g = self.g(x).view(n, self.inter, -1).permute(0, 2, 1)
+        theta = self.theta(x).view(n, self.inter, -1).permute(0, 2, 1)
+        phi = self.phi(x).view(n, self.inter, -1)
+        pw = torch.matmul(theta, phi)
+        if self.use_scale:
+            pw = pw / self.inter ** 0.5
+        pw = pw.softmax(dim=-1)
+        y = torch.matmul(pw, g).permute(0, 2, 1).reshape(
+            n, self.inter, *x.shape[2:])
+        return x + self.conv_out(y)
+
+
+class DisentangledNonLocal2d(NonLocal2d):
+    """ref dnl_head.py:9-83."""
+
+    def __init__(self, in_channels, reduction=2, use_scale=True,
+                 temperature=0.05):
+        super().__init__(in_channels, reduction, use_scale)
+        self.temperature = temperature
+        self.conv_mask = nn.Conv2d(in_channels, 1, 1)
+
+    def forward(self, x):
+        n = x.size(0)
+        g = self.g(x).view(n, self.inter, -1).permute(0, 2, 1)
+        theta = self.theta(x).view(n, self.inter, -1).permute(0, 2, 1)
+        phi = self.phi(x).view(n, self.inter, -1)
+        theta = theta - theta.mean(dim=-2, keepdim=True)
+        phi = phi - phi.mean(dim=-1, keepdim=True)
+        pw = torch.matmul(theta, phi)
+        if self.use_scale:
+            pw = pw / self.inter ** 0.5
+        pw = (pw / self.temperature).softmax(dim=-1)
+        y = torch.matmul(pw, g)
+        unary = self.conv_mask(x).view(n, 1, -1).softmax(dim=-1)
+        unary_x = torch.matmul(unary, g)
+        y = (y + unary_x).permute(0, 2, 1).reshape(n, self.inter,
+                                                   *x.shape[2:])
+        return x + self.conv_out(y)
+
+
+class ContextBlock(nn.Module):
+    """mmcv ContextBlock (pooling 'att', fusion channel_add)."""
+
+    def __init__(self, in_channels, ratio=0.25):
+        super().__init__()
+        planes = max(int(in_channels * ratio), 1)
+        self.conv_mask = nn.Conv2d(in_channels, 1, 1)
+        self.channel_add_conv = nn.Sequential(
+            nn.Conv2d(in_channels, planes, 1),
+            nn.LayerNorm([planes, 1, 1]), nn.ReLU(inplace=True),
+            nn.Conv2d(planes, in_channels, 1))
+
+    def forward(self, x):
+        n, c, h, w = x.shape
+        mask = self.conv_mask(x).view(n, 1, h * w).softmax(dim=2)
+        ctx = torch.matmul(x.view(n, 1, c, h * w),
+                           mask.unsqueeze(-1)).view(n, c, 1, 1)
+        return x + self.channel_add_conv(ctx)
+
+
+class _FCNAttnHead(nn.Module):
+    def __init__(self, in_ch, channels, num_classes, block, block_name,
+                 in_index=3):
+        super().__init__()
+        self.in_index = in_index
+        self.convs = nn.Sequential(
+            ConvModule(in_ch, channels, 3, padding=1),
+            ConvModule(channels, channels, 3, padding=1))
+        setattr(self, block_name, block)
+        self._block_name = block_name
+        self.conv_cat = ConvModule(in_ch + channels, channels, 3,
+                                   padding=1)
+        self.conv_seg = nn.Conv2d(channels, num_classes, 1)
+
+    def forward(self, inputs):
+        x = inputs[self.in_index]
+        out = self.convs[0](x)
+        out = getattr(self, self._block_name)(out)
+        out = self.convs[1](out)
+        out = self.conv_cat(torch.cat([x, out], dim=1))
+        return self.conv_seg(out)
+
+
+def NLHead(in_ch, channels, num_classes, in_index=3):
+    return _FCNAttnHead(in_ch, channels, num_classes,
+                        NonLocal2d(channels), 'nl_block',
+                        in_index=in_index)
+
+
+def GCHead(in_ch, channels, num_classes, in_index=3):
+    return _FCNAttnHead(in_ch, channels, num_classes,
+                        ContextBlock(channels), 'gc_block',
+                        in_index=in_index)
+
+
+def DNLHead(in_ch, channels, num_classes, in_index=3):
+    return _FCNAttnHead(in_ch, channels, num_classes,
+                        DisentangledNonLocal2d(channels), 'dnl_block',
+                        in_index=in_index)
