@@ -8,34 +8,34 @@ import jax.numpy as jnp
 
 from ..builder import HEADS, build_loss
 from ..utils import ConvModule
+from ..utils.self_attention_block import SelfAttentionBlock
 from .decode_head import BaseDecodeHead
 
 
-class PAM(nn.Module):
-    """Position attention module (ref da_head.py:12-44)."""
-    channels: int
+class Scale(nn.Module):
+    """mmcv.cnn.Scale: a learnable scalar (param name 'scale')."""
+    init: float = 0.0
 
     @nn.compact
     def __call__(self, x):
-        b, h, w, c = x.shape
-        inter = max(self.channels // 8, 1)
-        q = nn.Conv(inter, (1, 1), dtype=x.dtype,
-                    name='query')(x).reshape(b, h * w, inter)
-        k = nn.Conv(inter, (1, 1), dtype=x.dtype,
-                    name='key')(x).reshape(b, h * w, inter)
-        v = nn.Conv(c, (1, 1), dtype=x.dtype,
-                    name='value')(x).reshape(b, h * w, c)
-        attn = nn.softmax(jnp.einsum(
-            'bqc,bkc->bqk', q, k,
-            preferred_element_type=jnp.float32), axis=-1)
-        out = jnp.einsum('bqk,bkc->bqc', attn,
-                         v.astype(jnp.float32)).astype(x.dtype)
-        gamma = self.param('gamma', nn.initializers.zeros, ())
-        return x + gamma * out.reshape(b, h, w, c)
+        return x * self.param('scale', nn.initializers.constant(self.init),
+                              ())
+
+
+class PAM(SelfAttentionBlock):
+    """Position attention module (ref da_head.py:12-46): a
+    SelfAttentionBlock with bare-conv projections to ``channels``
+    (= pam_channels — NOT further reduced), value/out at in_channels,
+    no matmul norm, gamma-scaled residual."""
+
+    @nn.compact
+    def __call__(self, x, train=False):  # noqa: D401
+        out = SelfAttentionBlock.__call__(self, x, x, train=train)
+        return Scale(name='gamma')(out) + x
 
 
 class CAM(nn.Module):
-    """Channel attention module (ref da_head.py:47-72)."""
+    """Channel attention module (ref da_head.py:49-72)."""
 
     @nn.compact
     def __call__(self, x):
@@ -45,12 +45,14 @@ class CAM(nn.Module):
         energy = jnp.max(energy, axis=-1, keepdims=True) - energy
         attn = nn.softmax(energy, axis=-1)
         out = jnp.einsum('bcd,bnd->bnc', attn, f).astype(x.dtype)
-        gamma = self.param('gamma', nn.initializers.zeros, ())
-        return x + gamma * out.reshape(b, h, w, c)
+        return Scale(name='gamma')(out.reshape(b, h, w, c)) + x
 
 
 @HEADS.register_module()
 class DAHead(BaseDecodeHead):
+    """Dual attention (ref da_head.py:75-178): parallel PAM/CAM branches,
+    THREE outputs (pam_cam, pam, cam) each with its own conv_seg and its
+    own CE loss; inference uses pam_cam only."""
     pam_channels: int = 64
 
     @nn.compact
@@ -59,22 +61,50 @@ class DAHead(BaseDecodeHead):
         pam = ConvModule(out_channels=self.channels, kernel_size=3,
                          padding=1, norm_cfg=self.norm_cfg,
                          act_cfg=self.act_cfg,
-                         name='pam_in')(x, train=train)
-        pam = PAM(self.pam_channels, name='pam')(pam)
+                         name='pam_in_conv')(x, train=train)
+        pam = PAM(channels=self.pam_channels,
+                  out_channels=self.channels, with_out=False,
+                  matmul_norm=False, name='pam')(pam, train=train)
         pam = ConvModule(out_channels=self.channels, kernel_size=3,
                          padding=1, norm_cfg=self.norm_cfg,
                          act_cfg=self.act_cfg,
-                         name='pam_out')(pam, train=train)
+                         name='pam_out_conv')(pam, train=train)
+        pam_out = self._aux_cls_seg(pam, 'pam_conv_seg', train)
+
         cam = ConvModule(out_channels=self.channels, kernel_size=3,
                          padding=1, norm_cfg=self.norm_cfg,
                          act_cfg=self.act_cfg,
-                         name='cam_in')(x, train=train)
+                         name='cam_in_conv')(x, train=train)
         cam = CAM(name='cam')(cam)
         cam = ConvModule(out_channels=self.channels, kernel_size=3,
                          padding=1, norm_cfg=self.norm_cfg,
                          act_cfg=self.act_cfg,
-                         name='cam_out')(cam, train=train)
-        return self.cls_seg(pam + cam, train=train)
+                         name='cam_out_conv')(cam, train=train)
+        cam_out = self._aux_cls_seg(cam, 'cam_conv_seg', train)
+
+        pam_cam_out = self.cls_seg(pam + cam, train=train)
+        return pam_cam_out, pam_out, cam_out
+
+    def _aux_cls_seg(self, feat, name, train):
+        """ref pam_cls_seg/cam_cls_seg: shared dropout rate, own conv."""
+        if self.dropout_ratio > 0:
+            feat = nn.Dropout(self.dropout_ratio, deterministic=not train,
+                              name=f'{name}_dropout')(feat)
+        return nn.Conv(self.num_classes, (1, 1), dtype=feat.dtype,
+                       name=name)(feat)
+
+    def losses(self, seg_logit, seg_label, seg_weight=None):
+        """ref da_head.py:164-178: three prefixed CE losses."""
+        from ...core.utils import add_prefix
+        pam_cam, pam, cam = seg_logit
+        loss = {}
+        loss.update(add_prefix(
+            super().losses(pam_cam, seg_label, seg_weight), 'pam_cam'))
+        loss.update(add_prefix(
+            super().losses(pam, seg_label, seg_weight), 'pam'))
+        loss.update(add_prefix(
+            super().losses(cam, seg_label, seg_weight), 'cam'))
+        return loss
 
 
 @HEADS.register_module()

@@ -136,7 +136,13 @@ class EncoderDecoder(BaseSegmentor):
     def encode_decode(self, variables, img, train=False):
         """Logits resized to input resolution (ref :84-94)."""
         outs = self.net.apply(variables, img, train=False, with_aux=False)
-        return resize(outs['decode'].astype(jnp.float32),
+        out = outs['decode']
+        if isinstance(out, tuple):
+            # multi-output heads (DAHead pam_cam/pam/cam, EncHead se):
+            # inference uses the primary logits (ref da_head.py:160-162,
+            # enc_head.py forward_test)
+            out = out[0]
+        return resize(out.astype(jnp.float32),
                       size=img.shape[1:3], mode='bilinear',
                       align_corners=self.align_corners)
 

@@ -37,8 +37,10 @@ def _randomize(model, seed=0):
               if isinstance(m, torch.nn.PReLU)}
     sd = model.state_dict()
     for k, v in sd.items():
-        if (k.endswith('num_batches_tracked') or v.ndim == 0
-                or not v.is_floating_point()):  # index buffers stay intact
+        if k.endswith('num_batches_tracked') or not v.is_floating_point():
+            continue  # index buffers stay intact
+        if v.ndim == 0:  # mmcv Scale gammas: nonzero so the branch runs
+            sd[k] = 0.3 + 0.4 * torch.rand((), generator=g)
             continue
         if 'running_var' in k:
             sd[k] = 0.5 + torch.rand(v.shape, generator=g)
@@ -575,9 +577,12 @@ def _grad_cosine_f64(tmodel, cfg, variables, num_classes=19, seed=14,
                 cands = ['.'.join(comps[:-1]) + '.scale',
                          '.'.join(comps[:-1]) + '.bn.scale',
                          '.'.join(comps)]  # PReLU slope keeps '.weight'
-        else:
+        elif tk.endswith('bias'):
             cands = ['.'.join(comps[:-1]) + '.bias',
                      '.'.join(comps[:-1]) + '.bn.bias']
+        else:
+            # direct-named params (mmcv Scale '.scale', pos embeds, ...)
+            cands = ['.'.join(comps)]
         fk = next((c for c in cands if c in flat), None)
         assert fk is not None, f'no flax grad found for {tk}'
         fg = flat[fk]
@@ -1345,3 +1350,61 @@ class TestAttnHeadsParity:
                            np.float32).transpose(0, 3, 1, 2)
         np.testing.assert_allclose(f_out, t_out, rtol=1e-4, atol=1e-4,
                                    err_msg=f'{name} diverged')
+
+
+def _build_torch_danet(num_classes=19):
+    from torch_ref.attn_heads import DAEncoderDecoder, DAHead
+    from torch_ref.resnet import ResNetV1c
+    return DAEncoderDecoder(ResNetV1c(depth=50),
+                            DAHead(2048, 64, 16, num_classes, in_index=3))
+
+
+def _danet_cfg(num_classes=19):
+    return dict(
+        type='EncoderDecoder',
+        backbone=dict(type='ResNetV1c', depth=50, num_stages=4,
+                      out_indices=(0, 1, 2, 3), dilations=(1, 1, 2, 4),
+                      strides=(1, 2, 1, 1), norm_cfg=NORM,
+                      contract_dilation=True),
+        decode_head=dict(
+            type='DAHead', in_channels=2048, in_index=3, channels=64,
+            pam_channels=16, dropout_ratio=0.0, num_classes=num_classes,
+            norm_cfg=NORM, align_corners=False),
+        test_cfg=dict(mode='whole'))
+
+
+class TestDANetParity:
+    """DANet (R50-d8 + DAHead) through the production converter. Pins the
+    PAM projection width (pam_channels, NOT further //8-reduced), the
+    mmcv Scale gammas, the triple-output head contract (pam_cam/pam/cam
+    each with its own conv_seg and CE loss), and CAM's max-subtracted
+    channel affinity."""
+
+    @pytest.fixture(scope='class')
+    def setup(self, tmp_path_factory):
+        tmodel = _randomize(_build_torch_danet(), seed=141).eval()
+        fmodel = build_segmentor(_danet_cfg())
+        variables = _convert(fmodel, tmodel,
+                             tmp_path_factory.mktemp('danet'),
+                             (1, 64, 64, 3))
+        return tmodel, fmodel, variables
+
+    def test_logit_parity(self, setup):
+        tmodel, fmodel, variables = setup
+        x = np.random.RandomState(142).randn(2, 3, 64, 64).astype(
+            np.float32)
+        with torch.no_grad():
+            t_outs = tmodel.decode_head(tmodel.backbone(
+                torch.from_numpy(x)))
+        f_outs = fmodel.net.apply(variables,
+                                  jnp.asarray(x.transpose(0, 2, 3, 1)),
+                                  train=False, with_aux=False)['decode']
+        for name, t, f in zip(('pam_cam', 'pam', 'cam'), t_outs, f_outs):
+            np.testing.assert_allclose(
+                np.asarray(f, np.float32).transpose(0, 3, 1, 2),
+                t.numpy(), rtol=1e-4, atol=1e-4,
+                err_msg=f'DA {name} logits diverged')
+
+    def test_step0_gradient_cosine_f64(self, setup):
+        tmodel, fmodel, variables = setup
+        _grad_cosine_f64(tmodel, _danet_cfg(), variables, seed=144)

@@ -147,3 +147,103 @@ def DNLHead(in_ch, channels, num_classes, in_index=3):
     return _FCNAttnHead(in_ch, channels, num_classes,
                         DisentangledNonLocal2d(channels), 'dnl_block',
                         in_index=in_index)
+
+
+class Scale(nn.Module):
+    """mmcv.cnn.Scale."""
+
+    def __init__(self, scale=0.0):
+        super().__init__()
+        self.scale = nn.Parameter(torch.tensor(float(scale)))
+
+    def forward(self, x):
+        return x * self.scale
+
+
+class PAM(nn.Module):
+    """ref da_head.py:12-46: bare-conv q/k to pam_channels, v to
+    in_channels, no scale norm, gamma residual."""
+
+    def __init__(self, in_channels, channels):
+        super().__init__()
+        self.channels = channels
+        self.key_project = nn.Conv2d(in_channels, channels, 1)
+        self.query_project = nn.Conv2d(in_channels, channels, 1)
+        self.value_project = nn.Conv2d(in_channels, in_channels, 1)
+        self.gamma = Scale(0)
+
+    def forward(self, x):
+        n = x.size(0)
+        q = self.query_project(x).view(n, self.channels, -1).permute(
+            0, 2, 1)
+        k = self.key_project(x).view(n, self.channels, -1)
+        v = self.value_project(x).view(n, x.size(1), -1).permute(0, 2, 1)
+        sim = torch.matmul(q, k).softmax(dim=-1)
+        out = torch.matmul(sim, v).permute(0, 2, 1).reshape(x.shape)
+        return self.gamma(out) + x
+
+
+class CAM(nn.Module):
+    """ref da_head.py:49-72."""
+
+    def __init__(self):
+        super().__init__()
+        self.gamma = Scale(0)
+
+    def forward(self, x):
+        n, c, h, w = x.shape
+        q = x.view(n, c, -1)
+        energy = torch.bmm(q, q.permute(0, 2, 1))
+        energy = energy.max(-1, keepdim=True)[0].expand_as(energy) - energy
+        attn = F.softmax(energy, dim=-1)
+        out = torch.bmm(attn, q).view(n, c, h, w)
+        return self.gamma(out) + x
+
+
+class DAHead(nn.Module):
+    """ref da_head.py:75-178 (three outputs, three losses)."""
+
+    def __init__(self, in_ch, channels, pam_channels, num_classes,
+                 in_index=3):
+        super().__init__()
+        self.in_index = in_index
+        self.pam_in_conv = ConvModule(in_ch, channels, 3, padding=1)
+        self.pam = PAM(channels, pam_channels)
+        self.pam_out_conv = ConvModule(channels, channels, 3, padding=1)
+        self.pam_conv_seg = nn.Conv2d(channels, num_classes, 1)
+        self.cam_in_conv = ConvModule(in_ch, channels, 3, padding=1)
+        self.cam = CAM()
+        self.cam_out_conv = ConvModule(channels, channels, 3, padding=1)
+        self.cam_conv_seg = nn.Conv2d(channels, num_classes, 1)
+        self.conv_seg = nn.Conv2d(channels, num_classes, 1)
+
+    def forward(self, inputs):
+        x = inputs[self.in_index]
+        pam = self.pam_out_conv(self.pam(self.pam_in_conv(x)))
+        pam_out = self.pam_conv_seg(pam)
+        cam = self.cam_out_conv(self.cam(self.cam_in_conv(x)))
+        cam_out = self.cam_conv_seg(cam)
+        return self.conv_seg(pam + cam), pam_out, cam_out
+
+
+class DAEncoderDecoder(nn.Module):
+    """Minimal container: loss = sum of the three resized CEs
+    (ref da_head.py:164-178 with loss_weight 1)."""
+
+    def __init__(self, backbone, decode_head):
+        super().__init__()
+        self.backbone = backbone
+        self.decode_head = decode_head
+
+    def forward(self, img):
+        return self.decode_head(self.backbone(img))[0]
+
+    def loss(self, img, label):
+        outs = self.decode_head(self.backbone(img))
+        total = 0
+        for logit in outs:
+            logit = F.interpolate(logit, size=label.shape[-2:],
+                                  mode='bilinear', align_corners=False)
+            total = total + F.cross_entropy(
+                logit, label, ignore_index=255, reduction='none').mean()
+        return total
