@@ -45,6 +45,8 @@ _KEY_RULES = [
      r'decoder_\1.convs_\2.'),
     (r'\bdecoder\.(\d)\.upsample\.interp_upsample\.1\.', r'up_conv_\1.'),
     (r'\bdecoder\.(\d)\.upsample\.(?=(?:conv|bn)\.)', r'up_conv_\1.'),
+    # EMA head: the (1, C, K) bases buffer (ref ema_head.py:38-42)
+    (r'\bema_module\.bases$', 'ema_module_bases'),
     # mmcv ContextBlock (GCHead): Sequential(conv, LayerNorm, ReLU, conv)
     (r'\bchannel_add_conv\.(\d)\.', r'channel_add_conv_\1.'),
     (r'\bchannel_mul_conv\.(\d)\.', r'channel_mul_conv_\1.'),
@@ -182,6 +184,8 @@ def _candidates(base_comps, leaf, ndim):
     else:
         # direct parameter (relative_position_bias_table, pos embeds, ...)
         out.append(('params', base_comps + (leaf,)))
+        # non-trainable buffers kept as model state (EMA bases, ...)
+        out.append(('batch_stats', base_comps + (leaf,)))
     return out
 
 

@@ -163,12 +163,43 @@ class CCHead(BaseDecodeHead):
         return self.cls_seg(out, train=train)
 
 
+class _FrozenInner(nn.Module):
+    """Bare 1x1 conv params with stopped gradients."""
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        kernel = self.param('kernel', nn.initializers.lecun_normal(),
+                            (1, 1, in_ch, self.features), jnp.float32)
+        bias = self.param('bias', nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        kernel = jax.lax.stop_gradient(kernel).astype(x.dtype)
+        bias = jax.lax.stop_gradient(bias).astype(x.dtype)
+        return jnp.einsum('bhwc,co->bhwo', x, kernel[0, 0]) + bias
+
+
+class _FrozenConv1x1(nn.Module):
+    """1x1 conv whose params receive no gradient (ref ema_head.py:124-131:
+    ema_mid_conv params have requires_grad=False). Child named 'conv' so
+    checkpoints map to ``...ema_mid_conv.conv.*``."""
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        return _FrozenInner(self.features, name='conv')(x)
+
+
 @HEADS.register_module()
 class EMAHead(BaseDecodeHead):
-    """Expectation-maximization attention (ref ema_head.py). The EM
-    iterations run under stop_gradient like the reference's no_grad loop;
-    bases are per-forward (the reference's momentum-updated global bases
-    become per-batch initialization from a learned parameter)."""
+    """Expectation-maximization attention (ref ema_head.py:19-168).
+
+    Faithful semantics: the EM loop AND the reconstruction run without
+    gradient (the ref computes recon from no-grad bases and the last
+    in-loop attention, so only the identity path backpropagates to the
+    backbone); ema_mid_conv is a frozen 1x1; the bases are a (1, C, K)
+    non-trainable buffer (batch_stats) momentum-updated with the
+    batch-mean bases during training (ref :69-74)."""
     ema_channels: int = 256
     num_bases: int = 64
     num_stages: int = 3
@@ -178,38 +209,63 @@ class EMAHead(BaseDecodeHead):
     @nn.compact
     def __call__(self, inputs, train=False):
         x = self._transform_inputs(inputs)
-        feat = ConvModule(out_channels=self.ema_channels, kernel_size=3,
-                          padding=1, norm_cfg=self.norm_cfg,
-                          act_cfg=self.act_cfg,
-                          name='ema_in')(x, train=train)
-        b, h, w, c = feat.shape
-        bases0 = self.param('bases', nn.initializers.normal(1.0),
-                            (1, c, self.num_bases))
-        bases = jnp.broadcast_to(bases0, (b, c, self.num_bases))
-        bases = bases / jnp.maximum(
-            jnp.linalg.norm(bases, axis=1, keepdims=True), 1e-6)
-        f = feat.reshape(b, h * w, c).astype(jnp.float32)
+        feats = ConvModule(out_channels=self.ema_channels, kernel_size=3,
+                           padding=1, norm_cfg=self.norm_cfg,
+                           act_cfg=self.act_cfg,
+                           name='ema_in_conv')(x, train=train)
+        identity = feats
+        feats = _FrozenConv1x1(self.ema_channels,
+                               name='ema_mid_conv')(feats)
+        b, h, w, c = feats.shape
 
-        def em_step(i, bases):
-            z = nn.softmax(jnp.einsum('bnc,bck->bnk', f, bases), axis=-1)
-            z = z / jnp.maximum(jnp.sum(z, axis=1, keepdims=True), 1e-6)
-            bases = jnp.einsum('bnc,bnk->bck', f, z)
+        def init_bases(*_):
+            k = self.make_rng('params') if self.has_rng('params') else \
+                jax.random.PRNGKey(0)
+            bases = jax.random.normal(k, (1, c, self.num_bases),
+                                      jnp.float32) \
+                * (2.0 / self.num_bases) ** 0.5
             return bases / jnp.maximum(
-                jnp.linalg.norm(bases, axis=1, keepdims=True), 1e-6)
+                jnp.linalg.norm(bases, axis=1, keepdims=True), 1e-12)
 
-        bases = jax.lax.stop_gradient(jax.lax.fori_loop(
-            0, self.num_stages, em_step, bases.astype(jnp.float32)))
-        z = nn.softmax(jnp.einsum('bnc,bck->bnk', f, bases), axis=-1)
-        recon = jnp.einsum('bnk,bck->bnc', z, bases).astype(feat.dtype)
+        bases_var = self.variable('batch_stats', 'ema_module_bases',
+                                  init_bases)
+        bases = jnp.broadcast_to(bases_var.value,
+                                 (b, c, self.num_bases)).astype(jnp.float32)
+        f = feats.reshape(b, h * w, c).astype(jnp.float32)
+
+        def em_step(i, carry):
+            bases, _ = carry
+            attn = nn.softmax(jnp.einsum('bnc,bck->bnk', f, bases),
+                              axis=2)
+            attn_l1 = attn / jnp.maximum(
+                jnp.sum(attn, axis=1, keepdims=True), 1e-12)
+            bases = jnp.einsum('bnc,bnk->bck', f, attn_l1)
+            bases = bases / jnp.maximum(
+                jnp.linalg.norm(bases, axis=1, keepdims=True), 1e-12)
+            return bases, attn
+
+        attn0 = jnp.zeros((b, h * w, self.num_bases), jnp.float32)
+        bases, attn = jax.lax.stop_gradient(jax.lax.fori_loop(
+            0, self.num_stages, em_step, (bases, attn0)))
+        # recon from the FINAL bases and the LAST in-loop (pre-l1)
+        # attention, both detached (ref :63-65: the whole branch carries
+        # no gradient back to feats)
+        recon = jnp.einsum('bck,bnk->bnc', bases, attn).astype(feats.dtype)
+        if train and not self.is_initializing():
+            new = bases.mean(axis=0, keepdims=True)
+            new = new / jnp.maximum(
+                jnp.linalg.norm(new, axis=1, keepdims=True), 1e-12)
+            bases_var.value = (1 - self.momentum) * bases_var.value \
+                + self.momentum * new
         recon = nn.relu(recon.reshape(b, h, w, c))
         recon = ConvModule(out_channels=self.ema_channels, kernel_size=1,
                            norm_cfg=self.norm_cfg, act_cfg=None,
-                           name='ema_mid')(recon, train=train)
-        out = nn.relu(feat + recon)
+                           name='ema_out_conv')(recon, train=train)
+        out = nn.relu(identity + recon)
         out = ConvModule(out_channels=self.channels, kernel_size=3,
                          padding=1, norm_cfg=self.norm_cfg,
                          act_cfg=self.act_cfg,
-                         name='ema_out')(out, train=train)
+                         name='bottleneck')(out, train=train)
         if self.concat_input:
             out = ConvModule(out_channels=self.channels, kernel_size=3,
                              padding=1, norm_cfg=self.norm_cfg,

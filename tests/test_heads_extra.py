@@ -34,11 +34,17 @@ def test_attention_heads_forward(cfg):
     head = build_head(cfg)
     variables = head.init({'params': jax.random.key(0)}, FEATS)
     out = head.apply(variables, FEATS)
-    assert out.shape[0] == 1 and out.shape[-1] == 19
-    # losses path runs
+    # losses path runs (DAHead returns a pam_cam/pam/cam triple and
+    # prefixes its loss keys, ref da_head.py:155-178)
     gt = jnp.zeros((1, 8, 8), jnp.int32)
     losses = head.losses(out, gt)
-    assert np.isfinite(float(jnp.mean(losses['loss_seg'])))
+    if isinstance(out, tuple):
+        out = out[0]
+        loss = losses['pam_cam.loss_seg']
+    else:
+        loss = losses['loss_seg']
+    assert out.shape[0] == 1 and out.shape[-1] == 19
+    assert np.isfinite(float(jnp.mean(loss)))
 
 
 def test_enc_head_se_loss():

@@ -1325,15 +1325,22 @@ class TestAttnHeadsParity:
     logits (was applied to the unary instead), and ContextBlock's
     conv/LN/ReLU/conv transform under the reference's key layout."""
 
-    @pytest.mark.parametrize('name', ['NLHead', 'GCHead', 'DNLHead'])
+    @pytest.mark.parametrize('name', ['NLHead', 'GCHead', 'DNLHead',
+                                      'EMAHead'])
     def test_head_logits(self, name, tmp_path):
         import torch_ref.attn_heads as oracles
         from segdistill_tpu.models.builder import build_head
         from segdistill_tpu.convert.torch_loader import translate_state_dict
-        thead = _randomize(getattr(oracles, name)(96, 32, 19, in_index=0),
+        extra_t, extra_f = {}, {}
+        if name == 'EMAHead':
+            extra_t = dict(ema_channels=48, num_bases=8, num_stages=3)
+            extra_f = dict(ema_channels=48, num_bases=8, num_stages=3)
+        thead = _randomize(getattr(oracles, name)(96, 32, **extra_t,
+                                                  num_classes=19,
+                                                  in_index=0),
                            seed=131).eval()
         fhead = build_head(dict(
-            type=name, in_channels=96, in_index=0, channels=32,
+            type=name, in_channels=96, in_index=0, channels=32, **extra_f,
             dropout_ratio=0.0, num_classes=19, norm_cfg=NORM,
             align_corners=False))
         x = np.random.RandomState(132).randn(2, 96, 16, 16).astype(

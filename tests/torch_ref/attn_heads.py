@@ -247,3 +247,60 @@ class DAEncoderDecoder(nn.Module):
             total = total + F.cross_entropy(
                 logit, label, ignore_index=255, reduction='none').mean()
         return total
+
+
+class EMAModule(nn.Module):
+    """ref ema_head.py:19-77 (eval mode: no momentum update)."""
+
+    def __init__(self, channels, num_bases, num_stages):
+        super().__init__()
+        self.num_bases, self.num_stages = num_bases, num_stages
+        bases = torch.zeros(1, channels, num_bases)
+        bases.normal_(0, (2.0 / num_bases) ** 0.5)
+        self.register_buffer(
+            'bases', F.normalize(bases, dim=1, p=2))
+
+    def forward(self, feats):
+        n, c, h, w = feats.shape
+        feats = feats.view(n, c, h * w)
+        bases = self.bases.repeat(n, 1, 1)
+        with torch.no_grad():
+            for _ in range(self.num_stages):
+                attn = torch.einsum('bcn,bck->bnk', feats, bases)
+                attn = F.softmax(attn, dim=2)
+                attn_l1 = F.normalize(attn, dim=1, p=1)
+                bases = torch.einsum('bcn,bnk->bck', feats, attn_l1)
+                bases = F.normalize(bases, dim=1, p=2)
+        recon = torch.einsum('bck,bnk->bcn', bases, attn)
+        return recon.view(n, c, h, w)
+
+
+class EMAHead(nn.Module):
+    """ref ema_head.py:80-168."""
+
+    def __init__(self, in_ch, channels, ema_channels, num_bases,
+                 num_stages, num_classes, in_index=3):
+        super().__init__()
+        self.in_index = in_index
+        self.ema_in_conv = ConvModule(in_ch, ema_channels, 3, padding=1)
+        self.ema_mid_conv = ConvModule(ema_channels, ema_channels, 1,
+                                       with_bn=False, act=False)
+        for p in self.ema_mid_conv.parameters():
+            p.requires_grad = False
+        self.ema_module = EMAModule(ema_channels, num_bases, num_stages)
+        self.ema_out_conv = ConvModule(ema_channels, ema_channels, 1,
+                                       act=False)
+        self.bottleneck = ConvModule(ema_channels, channels, 3, padding=1)
+        self.conv_cat = ConvModule(in_ch + channels, channels, 3,
+                                   padding=1)
+        self.conv_seg = nn.Conv2d(channels, num_classes, 1)
+
+    def forward(self, inputs):
+        x = inputs[self.in_index]
+        feats = self.ema_in_conv(x)
+        identity = feats
+        recon = self.ema_module(self.ema_mid_conv(feats))
+        recon = self.ema_out_conv(F.relu(recon))
+        out = self.bottleneck(F.relu(identity + recon))
+        out = self.conv_cat(torch.cat([x, out], dim=1))
+        return self.conv_seg(out)
