@@ -45,6 +45,10 @@ _KEY_RULES = [
      r'decoder_\1.convs_\2.'),
     (r'\bdecoder\.(\d)\.upsample\.interp_upsample\.1\.', r'up_conv_\1.'),
     (r'\bdecoder\.(\d)\.upsample\.(?=(?:conv|bn)\.)', r'up_conv_\1.'),
+    # Enc head (ref enc_head.py:11-59): Encoding + BN1d + fc Sequentials
+    (r'\benc_module\.encoding\.0\.', 'enc_module.encoding.'),
+    (r'\benc_module\.encoding\.1\.', 'enc_module.encoding_bn.'),
+    (r'\benc_module\.fc\.0\.', 'enc_module.fc.'),
     # EMA head: the (1, C, K) bases buffer (ref ema_head.py:38-42)
     (r'\bema_module\.bases$', 'ema_module_bases'),
     # mmcv ContextBlock (GCHead): Sequential(conv, LayerNorm, ReLU, conv)

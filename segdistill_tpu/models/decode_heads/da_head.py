@@ -274,11 +274,68 @@ class EMAHead(BaseDecodeHead):
         return self.cls_seg(out, train=train)
 
 
+class _Encoding(nn.Module):
+    """mmseg ops/encoding.py: learnable residual encoder. codewords
+    (K, C) init U(-std, std) with std = 1/sqrt(K*C); scale (K,) init
+    U(-1, 0) and multiplied AS-IS onto the squared distances (the
+    negativity lives in the parameter, ref :17-43)."""
+    num_codes: int
+
+    @nn.compact
+    def __call__(self, x):
+        # x: (B, N, C) -> (B, K, C) residual aggregation
+        c = x.shape[-1]
+        std = 1.0 / ((self.num_codes * c) ** 0.5)
+        codewords = self.param(
+            'codewords',
+            lambda k, s, d=jnp.float32: jax.random.uniform(
+                k, s, d, -std, std),
+            (self.num_codes, c))
+        scale = self.param(
+            'scale',
+            lambda k, s, d=jnp.float32: jax.random.uniform(
+                k, s, d, -1.0, 0.0),
+            (self.num_codes,))
+        xf = x.astype(jnp.float32)
+        resid = xf[:, :, None, :] - codewords[None, None]  # (B,N,K,C)
+        dist = scale[None, None] * jnp.sum(resid ** 2, axis=-1)
+        assign = nn.softmax(dist, axis=2)
+        return jnp.einsum('bnk,bnkc->bkc', assign, resid).astype(x.dtype)
+
+
+class _EncModule(nn.Module):
+    """ref enc_head.py:11-59: project -> Encoding -> BN1d(num_codes) ->
+    ReLU -> mean over codes -> sigmoid fc gate; relu(x + x*gamma)."""
+    channels: int
+    num_codes: int
+    norm_cfg: dict = None
+    act_cfg: object = 'default'
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        b, h, w, c = x.shape
+        proj = ConvModule(out_channels=self.channels, kernel_size=1,
+                          norm_cfg=self.norm_cfg, act_cfg=self.act_cfg,
+                          name='encoding_project')(x, train=train)
+        enc = _Encoding(self.num_codes, name='encoding')(
+            proj.reshape(b, h * w, c))
+        # BN1d over the code axis: make K the feature axis
+        from ..utils import NormLayer
+        bn_cfg = dict(self.norm_cfg or dict(type='BN'))
+        bn_cfg['type'] = 'BN'  # 1d variant of BN/SyncBN
+        enc = NormLayer(bn_cfg, name='encoding_bn')(
+            jnp.swapaxes(enc, 1, 2)[:, None], train=train)[:, 0]
+        enc = nn.relu(jnp.swapaxes(enc, 1, 2))  # back to (B, K, C)
+        feat = enc.mean(axis=1)  # (B, C)
+        gamma = nn.sigmoid(nn.Dense(c, dtype=x.dtype, name='fc')(feat))
+        out = nn.relu(x + x * gamma[:, None, None, :].astype(x.dtype))
+        return feat, out
+
+
 @HEADS.register_module()
 class EncHead(BaseDecodeHead):
     """Context encoding head with the se-loss auxiliary
-    (ref enc_head.py). The encoding module's residual soft-assignment over
-    learned codewords is einsum-vectorized."""
+    (ref enc_head.py:61-187)."""
     num_codes: int = 32
     use_se_loss: bool = True
     add_lateral: bool = False
@@ -286,28 +343,34 @@ class EncHead(BaseDecodeHead):
 
     @nn.compact
     def __call__(self, inputs, train=False):
-        x = self._transform_inputs(inputs)[-1]
+        inputs = self._transform_inputs(inputs)
         feat = ConvModule(out_channels=self.channels, kernel_size=3,
                           padding=1, norm_cfg=self.norm_cfg,
                           act_cfg=self.act_cfg,
-                          name='bottleneck')(x, train=train)
-        b, h, w, c = feat.shape
-        codes = self.param('codewords', nn.initializers.normal(1.0),
-                           (self.num_codes, c))
-        scale = self.param('scale', nn.initializers.uniform(1.0),
-                           (self.num_codes,))
-        f = feat.reshape(b, h * w, c).astype(jnp.float32)
-        resid = f[:, :, None, :] - codes[None, None]  # (b, n, K, c)
-        dist = jnp.sum(resid ** 2, axis=-1) * (-scale[None, None])
-        assign = nn.softmax(dist, axis=-1)
-        enc = jnp.einsum('bnk,bnkc->bkc', assign, resid)
-        enc = nn.relu(nn.LayerNorm(name='enc_norm')(enc)).mean(axis=1)
-        gamma = nn.sigmoid(nn.Dense(c, name='fc')(enc))
-        out = feat * gamma[:, None, None, :].astype(feat.dtype)
-        self.sow('feats', 'enc__tap', enc)
+                          name='bottleneck')(inputs[-1], train=train)
+        if self.add_lateral:
+            from ...ops import resize
+            laterals = [
+                resize(ConvModule(out_channels=self.channels,
+                                  kernel_size=1, norm_cfg=self.norm_cfg,
+                                  act_cfg=self.act_cfg,
+                                  name=f'lateral_convs_{i}')(
+                                      inputs[i], train=train),
+                       size=feat.shape[1:3], mode='bilinear',
+                       align_corners=self.align_corners)
+                for i in range(len(inputs) - 1)]
+            feat = ConvModule(out_channels=self.channels, kernel_size=3,
+                              padding=1, norm_cfg=self.norm_cfg,
+                              act_cfg=self.act_cfg, name='fusion')(
+                jnp.concatenate([feat] + laterals, axis=-1), train=train)
+        enc_feat, out = _EncModule(self.channels, self.num_codes,
+                                   norm_cfg=self.norm_cfg,
+                                   act_cfg=self.act_cfg,
+                                   name='enc_module')(feat, train=train)
+        self.sow('feats', 'enc__tap', enc_feat)
         out_logits = self.cls_seg(out, train=train)
         if self.use_se_loss:
-            se = nn.Dense(self.num_classes, name='se_layer')(enc)
+            se = nn.Dense(self.num_classes, name='se_layer')(enc_feat)
             return out_logits, se
         return out_logits
 
@@ -315,12 +378,14 @@ class EncHead(BaseDecodeHead):
         if isinstance(seg_logit, tuple):
             seg_logit, se_pred = seg_logit
             loss = super().losses(seg_logit, seg_label, seg_weight)
-            # se loss: multilabel BCE against classes present in the image
+            # se loss: multilabel BCE against classes present in the
+            # image (ref :158-187, loss_weight 0.2)
             onehot = jax.nn.one_hot(
                 jnp.where(seg_label == self.ignore_index, 0, seg_label),
                 self.num_classes)
             valid = (seg_label != self.ignore_index)[..., None]
             present = jnp.max(onehot * valid, axis=(1, 2))
+            se_pred = se_pred.astype(jnp.float32)
             bce = jnp.maximum(se_pred, 0) - se_pred * present + \
                 jnp.log1p(jnp.exp(-jnp.abs(se_pred)))
             loss['loss_se'] = 0.2 * jnp.mean(bce)

@@ -1326,7 +1326,7 @@ class TestAttnHeadsParity:
     conv/LN/ReLU/conv transform under the reference's key layout."""
 
     @pytest.mark.parametrize('name', ['NLHead', 'GCHead', 'DNLHead',
-                                      'EMAHead'])
+                                      'EMAHead', 'EncHead'])
     def test_head_logits(self, name, tmp_path):
         import torch_ref.attn_heads as oracles
         from segdistill_tpu.models.builder import build_head
@@ -1335,12 +1335,19 @@ class TestAttnHeadsParity:
         if name == 'EMAHead':
             extra_t = dict(ema_channels=48, num_bases=8, num_stages=3)
             extra_f = dict(ema_channels=48, num_bases=8, num_stages=3)
+        elif name == 'EncHead':
+            extra_t = dict(num_codes=8)
+            extra_f = dict(num_codes=8, use_se_loss=True,
+                           input_transform='multiple_select')
         thead = _randomize(getattr(oracles, name)(96, 32, **extra_t,
                                                   num_classes=19,
                                                   in_index=0),
                            seed=131).eval()
+        in_cfg = dict(in_channels=96, in_index=0)
+        if name == 'EncHead':  # multiple_select expects lists
+            in_cfg = dict(in_channels=[96], in_index=[0])
         fhead = build_head(dict(
-            type=name, in_channels=96, in_index=0, channels=32, **extra_f,
+            type=name, **in_cfg, channels=32, **extra_f,
             dropout_ratio=0.0, num_classes=19, norm_cfg=NORM,
             align_corners=False))
         x = np.random.RandomState(132).randn(2, 96, 16, 16).astype(
@@ -1352,9 +1359,17 @@ class TestAttnHeadsParity:
             sd, variables)
         assert not missing and not unexpected, (missing, unexpected)
         with torch.no_grad():
-            t_out = thead([torch.from_numpy(x)]).numpy()
-        f_out = np.asarray(fhead.apply(nv, feats),
-                           np.float32).transpose(0, 3, 1, 2)
+            t_out = thead([torch.from_numpy(x)])
+        f_out = fhead.apply(nv, feats)
+        if name == 'EncHead':
+            np.testing.assert_allclose(
+                np.asarray(f_out[1], np.float32), t_out[1].numpy(),
+                rtol=1e-4, atol=1e-4, err_msg='EncHead se diverged')
+            t_out, f_out = t_out[0], f_out[0]
+        else:
+            t_out = t_out
+        t_out = t_out.numpy() if hasattr(t_out, 'numpy') else t_out
+        f_out = np.asarray(f_out, np.float32).transpose(0, 3, 1, 2)
         np.testing.assert_allclose(f_out, t_out, rtol=1e-4, atol=1e-4,
                                    err_msg=f'{name} diverged')
 

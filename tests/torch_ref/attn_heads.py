@@ -304,3 +304,64 @@ class EMAHead(nn.Module):
         out = self.bottleneck(F.relu(identity + recon))
         out = self.conv_cat(torch.cat([x, out], dim=1))
         return self.conv_seg(out)
+
+
+class Encoding(nn.Module):
+    """ref mmseg/ops/encoding.py:6-74."""
+
+    def __init__(self, channels, num_codes):
+        super().__init__()
+        self.channels, self.num_codes = channels, num_codes
+        std = 1.0 / ((num_codes * channels) ** 0.5)
+        self.codewords = nn.Parameter(
+            torch.empty(num_codes, channels).uniform_(-std, std))
+        self.scale = nn.Parameter(
+            torch.empty(num_codes).uniform_(-1, 0))
+
+    def forward(self, x):
+        n = x.size(0)
+        x = x.view(n, self.channels, -1).transpose(1, 2).contiguous()
+        expanded = x.unsqueeze(2)  # (B, N, 1, C)
+        dist = self.scale.view(1, 1, -1) * (
+            expanded - self.codewords.view(1, 1, self.num_codes,
+                                           self.channels)).pow(2).sum(3)
+        assign = F.softmax(dist, dim=2)
+        enc = (assign.unsqueeze(3) *
+               (expanded - self.codewords.view(1, 1, self.num_codes,
+                                               self.channels))).sum(1)
+        return enc  # (B, K, C)
+
+
+class EncHead(nn.Module):
+    """ref enc_head.py:11-146 (use_se_loss, no laterals)."""
+
+    def __init__(self, in_ch, channels, num_codes, num_classes,
+                 in_index=3):
+        super().__init__()
+        self.in_index = in_index
+        self.bottleneck = ConvModule(in_ch, channels, 3, padding=1)
+
+        class EncModule(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.encoding_project = ConvModule(channels, channels, 1)
+                self.encoding = nn.Sequential(
+                    Encoding(channels, num_codes),
+                    nn.BatchNorm1d(num_codes), nn.ReLU(inplace=True))
+                self.fc = nn.Sequential(nn.Linear(channels, channels),
+                                        nn.Sigmoid())
+
+            def forward(self, x):
+                enc = self.encoding(self.encoding_project(x)).mean(dim=1)
+                gamma = self.fc(enc)
+                y = gamma.view(x.size(0), x.size(1), 1, 1)
+                return enc, F.relu(x + x * y)
+
+        self.enc_module = EncModule()
+        self.se_layer = nn.Linear(channels, num_classes)
+        self.conv_seg = nn.Conv2d(channels, num_classes, 1)
+
+    def forward(self, inputs):
+        feat = self.bottleneck(inputs[self.in_index])
+        enc_feat, out = self.enc_module(feat)
+        return self.conv_seg(out), self.se_layer(enc_feat)
