@@ -45,6 +45,9 @@ _KEY_RULES = [
      r'decoder_\1.convs_\2.'),
     (r'\bdecoder\.(\d)\.upsample\.interp_upsample\.1\.', r'up_conv_\1.'),
     (r'\bdecoder\.(\d)\.upsample\.(?=(?:conv|bn)\.)', r'up_conv_\1.'),
+    # APC / DM heads: ModuleList indices -> flat child names
+    (r'\bacm_modules\.(\d+)\.', r'acm_\1.'),
+    (r'\bdcm_modules\.(\d+)\.', r'dcm_\1.'),
     # Enc head (ref enc_head.py:11-59): Encoding + BN1d + fc Sequentials
     (r'\benc_module\.encoding\.0\.', 'enc_module.encoding.'),
     (r'\benc_module\.encoding\.1\.', 'enc_module.encoding_bn.'),

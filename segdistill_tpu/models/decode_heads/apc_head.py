@@ -1,25 +1,26 @@
 """APCNet / DMNet heads
-(ref contracts: mmseg/models/decode_heads/{apc_head.py:158LoC,
-dm_head.py:140LoC})."""
+(ref contracts: mmseg/models/decode_heads/{apc_head.py:10-158,
+dm_head.py:10-139})."""
 
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ...ops import resize
 from ..builder import HEADS
-from ..utils import ConvModule
+from ..utils import ConvModule, NormLayer, build_activation
 from .decode_head import BaseDecodeHead
 from .psp_head import adaptive_avg_pool
 
 
 class ACM(nn.Module):
-    """Adaptive Context Module: affinity between pixels and pooled-grid
-    context vectors (ref apc_head.py:10-80)."""
+    """Adaptive Context Module (ref apc_head.py:10-106): sigmoid-gated
+    affinity between pixels and pooled-grid context vectors, with a
+    global-info shortcut into the affinity conv and a residual back to
+    the reduced input."""
     pool_scale: int
     channels: int
     fusion: bool = True
     norm_cfg: dict = None
-    act_cfg: dict = None
+    act_cfg: object = 'default'
 
     @nn.compact
     def __call__(self, x, train=False):
@@ -28,25 +29,31 @@ class ACM(nn.Module):
         pooled = adaptive_avg_pool(x, s).astype(x.dtype)
         pooled = ConvModule(out_channels=self.channels, kernel_size=1,
                             norm_cfg=self.norm_cfg, act_cfg=self.act_cfg,
-                            name='pooled_proj')(pooled, train=train)
-        query = ConvModule(out_channels=self.channels, kernel_size=1,
-                           norm_cfg=self.norm_cfg, act_cfg=self.act_cfg,
-                           name='query_proj')(x, train=train)
-        # affinity map: (B, HW, s*s), softmax over grid cells
-        qf = query.reshape(b, h * w, self.channels).astype(jnp.float32)
-        affinity = nn.Dense(s * s, dtype=x.dtype,
-                            name='affinity')(query).reshape(b, h * w,
-                                                            s * s)
-        affinity = nn.softmax(affinity.astype(jnp.float32), axis=-1)
-        ctx = jnp.einsum('bns,bsc->bnc', affinity,
-                         pooled.reshape(b, s * s,
-                                        self.channels).astype(jnp.float32))
-        ctx = ctx.reshape(b, h, w, self.channels).astype(x.dtype)
+                            name='pooled_redu_conv')(pooled, train=train)
+        xr = ConvModule(out_channels=self.channels, kernel_size=1,
+                        norm_cfg=self.norm_cfg, act_cfg=self.act_cfg,
+                        name='input_redu_conv')(x, train=train)
+        gi = ConvModule(out_channels=self.channels, kernel_size=1,
+                        norm_cfg=self.norm_cfg, act_cfg=self.act_cfg,
+                        name='global_info')(
+            jnp.mean(xr, axis=(1, 2), keepdims=True), train=train)
+        affinity = nn.Conv(s * s, (1, 1), dtype=x.dtype,
+                           name='gla')(xr + gi)  # broadcast global info
+        affinity = nn.sigmoid(
+            affinity.reshape(b, h * w, s * s).astype(jnp.float32))
+        z = jnp.einsum('bns,bsc->bnc', affinity,
+                       pooled.reshape(b, s * s,
+                                      self.channels).astype(jnp.float32))
+        z = z.reshape(b, h, w, self.channels).astype(x.dtype)
+        z = ConvModule(out_channels=self.channels, kernel_size=1,
+                       norm_cfg=self.norm_cfg, act_cfg=self.act_cfg,
+                       name='residual_conv')(z, train=train)
+        z = nn.relu(z + xr)
         if self.fusion:
-            ctx = ConvModule(out_channels=self.channels, kernel_size=1,
-                             norm_cfg=self.norm_cfg, act_cfg=self.act_cfg,
-                             name='fusion_conv')(ctx, train=train)
-        return ctx
+            z = ConvModule(out_channels=self.channels, kernel_size=1,
+                           norm_cfg=self.norm_cfg, act_cfg=self.act_cfg,
+                           name='fusion_conv')(z, train=train)
+        return z
 
 
 @HEADS.register_module()
@@ -71,35 +78,41 @@ class APCHead(BaseDecodeHead):
 
 
 class DCM(nn.Module):
-    """Dynamic Convolution Module: per-image filters from pooled context
-    (ref dm_head.py:10-74). The dynamic conv = correlation of the feature
-    map with the (s x s) pooled filter, depthwise per channel."""
+    """Dynamic Convolution Module (ref dm_head.py:10-88): a bare 1x1 conv
+    generates per-image (filter_size x filter_size) depthwise filters from
+    the pooled input; the reduced input is correlated with them, then
+    norm + act (+ optional fusion conv)."""
     filter_size: int
     channels: int
-    fusion: bool = True
+    fusion: bool = False
     norm_cfg: dict = None
-    act_cfg: dict = None
+    act_cfg: object = 'default'
 
     @nn.compact
     def __call__(self, x, train=False):
         s = self.filter_size
-        filt = adaptive_avg_pool(x, s).astype(x.dtype)  # (B, s, s, C)
+        filt = nn.Conv(self.channels, (1, 1), dtype=x.dtype,
+                       name='filter_gen_conv')(
+            adaptive_avg_pool(x, s).astype(x.dtype))  # (B, s, s, C)
         feat = ConvModule(out_channels=self.channels, kernel_size=1,
                           norm_cfg=self.norm_cfg, act_cfg=self.act_cfg,
-                          name='input_proj')(x, train=train)
-        filt = ConvModule(out_channels=self.channels, kernel_size=1,
-                          norm_cfg=self.norm_cfg, act_cfg=self.act_cfg,
-                          name='filter_proj')(filt, train=train)
+                          name='input_redu_conv')(x, train=train)
         pad = (s - 1) // 2
-        pad_hi = s - 1 - pad
-        fp = jnp.pad(feat, ((0, 0), (pad, pad_hi), (pad, pad_hi), (0, 0)))
-        # depthwise dynamic conv via explicit shift-and-accumulate
-        out = jnp.zeros_like(feat)
+        # ref pads (pad+1, pad) for even s-1; configs use odd s only
+        pad_lo = pad if (s - 1) % 2 == 0 else pad + 1
+        fp = jnp.pad(feat, ((0, 0), (pad_lo, pad), (pad_lo, pad), (0, 0)))
+        out = None
         for di in range(s):
             for dj in range(s):
                 patch = fp[:, di:di + feat.shape[1],
                            dj:dj + feat.shape[2]]
-                out = out + patch * filt[:, di:di + 1, dj:dj + 1]
+                term = patch * filt[:, di:di + 1, dj:dj + 1]
+                out = term if out is None else out + term
+        if self.norm_cfg is not None:
+            out = NormLayer(self.norm_cfg, name='norm')(out, train=train)
+        act_cfg = dict(type='ReLU') if self.act_cfg == 'default' \
+            else self.act_cfg
+        out = build_activation(act_cfg)(out)
         if self.fusion:
             out = ConvModule(out_channels=self.channels, kernel_size=1,
                              norm_cfg=self.norm_cfg, act_cfg=self.act_cfg,
@@ -110,7 +123,7 @@ class DCM(nn.Module):
 @HEADS.register_module()
 class DMHead(BaseDecodeHead):
     filter_sizes: tuple = (1, 3, 5, 7)
-    fusion: bool = True
+    fusion: bool = False  # ref dm_head.py:105
 
     @nn.compact
     def __call__(self, inputs, train=False):

@@ -1326,7 +1326,8 @@ class TestAttnHeadsParity:
     conv/LN/ReLU/conv transform under the reference's key layout."""
 
     @pytest.mark.parametrize('name', ['NLHead', 'GCHead', 'DNLHead',
-                                      'EMAHead', 'EncHead'])
+                                      'EMAHead', 'EncHead', 'APCHead',
+                                      'DMHead'])
     def test_head_logits(self, name, tmp_path):
         import torch_ref.attn_heads as oracles
         from segdistill_tpu.models.builder import build_head
@@ -1339,6 +1340,12 @@ class TestAttnHeadsParity:
             extra_t = dict(num_codes=8)
             extra_f = dict(num_codes=8, use_se_loss=True,
                            input_transform='multiple_select')
+        elif name == 'APCHead':
+            extra_t = dict(pool_scales=(1, 2, 3))
+            extra_f = dict(pool_scales=(1, 2, 3))
+        elif name == 'DMHead':
+            extra_t = dict(filter_sizes=(1, 3, 5))
+            extra_f = dict(filter_sizes=(1, 3, 5))
         thead = _randomize(getattr(oracles, name)(96, 32, **extra_t,
                                                   num_classes=19,
                                                   in_index=0),

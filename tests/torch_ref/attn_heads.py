@@ -365,3 +365,106 @@ class EncHead(nn.Module):
         feat = self.bottleneck(inputs[self.in_index])
         enc_feat, out = self.enc_module(feat)
         return self.conv_seg(out), self.se_layer(enc_feat)
+
+
+class ACM(nn.Module):
+    """ref apc_head.py:10-106."""
+
+    def __init__(self, pool_scale, in_ch, channels, fusion=True):
+        super().__init__()
+        self.pool_scale, self.channels, self.fusion = pool_scale, \
+            channels, fusion
+        self.pooled_redu_conv = ConvModule(in_ch, channels, 1)
+        self.input_redu_conv = ConvModule(in_ch, channels, 1)
+        self.global_info = ConvModule(channels, channels, 1)
+        self.gla = nn.Conv2d(channels, pool_scale ** 2, 1)
+        self.residual_conv = ConvModule(channels, channels, 1)
+        if fusion:
+            self.fusion_conv = ConvModule(channels, channels, 1)
+
+    def forward(self, x):
+        s = self.pool_scale
+        pooled = self.pooled_redu_conv(F.adaptive_avg_pool2d(x, s))
+        xr = self.input_redu_conv(x)
+        n = x.size(0)
+        pooled = pooled.view(n, self.channels, -1).permute(0, 2, 1)
+        gi = F.interpolate(
+            self.global_info(F.adaptive_avg_pool2d(xr, 1)),
+            size=xr.shape[2:], mode='nearest')
+        aff = torch.sigmoid(self.gla(xr + gi).permute(0, 2, 3, 1).reshape(
+            n, -1, s ** 2))
+        z = torch.matmul(aff, pooled).permute(0, 2, 1).reshape(
+            n, self.channels, *xr.shape[2:])
+        z = F.relu(self.residual_conv(z) + xr)
+        if self.fusion:
+            z = self.fusion_conv(z)
+        return z
+
+
+class APCHead(nn.Module):
+    """ref apc_head.py:109-158."""
+
+    def __init__(self, in_ch, channels, num_classes,
+                 pool_scales=(1, 2, 3), in_index=0):
+        super().__init__()
+        self.in_index = in_index
+        self.acm_modules = nn.ModuleList(
+            [ACM(s, in_ch, channels) for s in pool_scales])
+        self.bottleneck = ConvModule(
+            in_ch + len(pool_scales) * channels, channels, 3, padding=1)
+        self.conv_seg = nn.Conv2d(channels, num_classes, 1)
+
+    def forward(self, inputs):
+        x = inputs[self.in_index]
+        outs = [x] + [m(x) for m in self.acm_modules]
+        return self.conv_seg(self.bottleneck(torch.cat(outs, dim=1)))
+
+
+class DCM(nn.Module):
+    """ref dm_head.py:10-88."""
+
+    def __init__(self, filter_size, in_ch, channels, fusion=False):
+        super().__init__()
+        self.filter_size, self.channels, self.fusion = filter_size, \
+            channels, fusion
+        self.filter_gen_conv = nn.Conv2d(in_ch, channels, 1)
+        self.input_redu_conv = ConvModule(in_ch, channels, 1)
+        self.norm = nn.BatchNorm2d(channels)
+        if fusion:
+            self.fusion_conv = ConvModule(channels, channels, 1)
+
+    def forward(self, x):
+        s = self.filter_size
+        filt = self.filter_gen_conv(F.adaptive_avg_pool2d(x, s))
+        feat = self.input_redu_conv(x)
+        b, c, h, w = feat.shape
+        feat = feat.view(1, b * c, h, w)
+        filt = filt.view(b * c, 1, s, s)
+        pad = (s - 1) // 2
+        p2d = (pad, pad, pad, pad) if (s - 1) % 2 == 0 else \
+            (pad + 1, pad, pad + 1, pad)
+        out = F.conv2d(F.pad(feat, p2d), filt, groups=b * c).view(
+            b, c, h, w)
+        out = F.relu(self.norm(out))
+        if self.fusion:
+            out = self.fusion_conv(out)
+        return out
+
+
+class DMHead(nn.Module):
+    """ref dm_head.py:91-139 (fusion=False default)."""
+
+    def __init__(self, in_ch, channels, num_classes,
+                 filter_sizes=(1, 3, 5), in_index=0):
+        super().__init__()
+        self.in_index = in_index
+        self.dcm_modules = nn.ModuleList(
+            [DCM(s, in_ch, channels) for s in filter_sizes])
+        self.bottleneck = ConvModule(
+            in_ch + len(filter_sizes) * channels, channels, 3, padding=1)
+        self.conv_seg = nn.Conv2d(channels, num_classes, 1)
+
+    def forward(self, inputs):
+        x = inputs[self.in_index]
+        outs = [x] + [m(x) for m in self.dcm_modules]
+        return self.conv_seg(self.bottleneck(torch.cat(outs, dim=1)))
