@@ -45,6 +45,9 @@ _KEY_RULES = [
      r'decoder_\1.convs_\2.'),
     (r'\bdecoder\.(\d)\.upsample\.interp_upsample\.1\.', r'up_conv_\1.'),
     (r'\bdecoder\.(\d)\.upsample\.(?=(?:conv|bn)\.)', r'up_conv_\1.'),
+    # ANN head (ref ann_head.py:103-181): per-query-scale attention
+    # stages; this framework nests the SelfAttentionBlock under 'attn'
+    (r'\bstages\.(\d+)\.', r'stages_\1.attn.'),
     # APC / DM heads: ModuleList indices -> flat child names
     (r'\bacm_modules\.(\d+)\.', r'acm_\1.'),
     (r'\bdcm_modules\.(\d+)\.', r'dcm_\1.'),

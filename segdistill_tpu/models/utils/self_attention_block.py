@@ -26,6 +26,11 @@ class SelfAttentionBlock(nn.Module):
     value_out_norm: bool = False
     matmul_norm: bool = True
     with_out: bool = True
+    # ANN: pyramid-pool key/value AFTER their projections (ref
+    # self_attention_block.py:141-146 applies key_downsample to the
+    # projected key and value; pooling does not commute with the
+    # projection ReLU)
+    key_pool_scales: tuple = None
     conv_cfg: dict = None
     norm_cfg: dict = None
     act_cfg: dict = None
@@ -41,12 +46,29 @@ class SelfAttentionBlock(nn.Module):
 
     @nn.compact
     def __call__(self, query_feats, key_feats, train=False):
-        q = self._project(query_feats, self.channels,
-                          self.key_query_num_convs, self.key_query_norm,
-                          'query_project', train)
         if self.share_key_query:
-            k = q
+            # the shared projection lives under 'key_project' (ref
+            # self_attention_block.py:48-57: query_project aliases it, so
+            # the state dict stores only key_project)
+            chain = [ConvModule(out_channels=self.channels, kernel_size=1,
+                                norm_cfg=self.norm_cfg
+                                if self.key_query_norm else None,
+                                act_cfg=self.act_cfg
+                                if self.key_query_norm else None,
+                                name=f'key_project_{i}')
+                     for i in range(self.key_query_num_convs)]
+
+            def apply_chain(x):
+                for m in chain:
+                    x = m(x, train=train)
+                return x
+
+            q = apply_chain(query_feats)
+            k = apply_chain(key_feats)
         else:
+            q = self._project(query_feats, self.channels,
+                              self.key_query_num_convs,
+                              self.key_query_norm, 'query_project', train)
             k = self._project(key_feats, self.channels,
                               self.key_query_num_convs,
                               self.key_query_norm, 'key_project', train)
@@ -55,6 +77,17 @@ class SelfAttentionBlock(nn.Module):
                           else self.channels,
                           self.value_out_num_convs, self.value_out_norm,
                           'value_project', train)
+        if self.key_pool_scales is not None:
+            from ..decode_heads.psp_head import adaptive_avg_pool
+
+            def ppm_concat(x):
+                return jnp.concatenate(
+                    [adaptive_avg_pool(x, s).astype(x.dtype).reshape(
+                        x.shape[0], -1, 1, x.shape[-1])
+                     for s in self.key_pool_scales], axis=1)
+
+            k = ppm_concat(k)
+            v = ppm_concat(v)
 
         b, hq, wq, c = q.shape
         hk, wk = k.shape[1], k.shape[2]

@@ -1437,3 +1437,39 @@ class TestDANetParity:
     def test_step0_gradient_cosine_f64(self, setup):
         tmodel, fmodel, variables = setup
         _grad_cosine_f64(tmodel, _danet_cfg(), variables, seed=144)
+
+
+class TestANNHeadParity:
+    """ANNHead head-only vs the torch oracle: AFNB/APNB blocks own their
+    cat+bottleneck (the old head ADDED the fusion context to high and
+    dropped both block bottlenecks), key/query projections are normed
+    ConvModules with the head act, and key/value are pyramid-pooled
+    AFTER projection (pooling does not commute with the projection
+    ReLU)."""
+
+    def test_head_logits(self, tmp_path):
+        from torch_ref.attn_heads import ANNHead as TANN
+        from segdistill_tpu.models.builder import build_head
+        from segdistill_tpu.convert.torch_loader import translate_state_dict
+        thead = _randomize(TANN((64, 96), 32, 16, 19), seed=151).eval()
+        fhead = build_head(dict(
+            type='ANNHead', in_channels=[64, 96], in_index=[0, 1],
+            input_transform='multiple_select', channels=32,
+            project_channels=16, dropout_ratio=0.0, num_classes=19,
+            norm_cfg=NORM, align_corners=False))
+        rs = np.random.RandomState(152)
+        low = rs.randn(2, 64, 16, 16).astype(np.float32)
+        high = rs.randn(2, 96, 16, 16).astype(np.float32)
+        feats = [jnp.asarray(low.transpose(0, 2, 3, 1)),
+                 jnp.asarray(high.transpose(0, 2, 3, 1))]
+        variables = fhead.init({'params': jax.random.PRNGKey(0)}, feats)
+        sd = {k: t.numpy() for k, t in thead.state_dict().items()}
+        nv, matched, missing, unexpected = translate_state_dict(
+            sd, variables)
+        assert not missing and not unexpected, (missing, unexpected)
+        with torch.no_grad():
+            t_out = thead([torch.from_numpy(low),
+                           torch.from_numpy(high)]).numpy()
+        f_out = np.asarray(fhead.apply(nv, feats),
+                           np.float32).transpose(0, 3, 1, 2)
+        np.testing.assert_allclose(f_out, t_out, rtol=1e-4, atol=1e-4)

@@ -468,3 +468,96 @@ class DMHead(nn.Module):
         x = inputs[self.in_index]
         outs = [x] + [m(x) for m in self.dcm_modules]
         return self.conv_seg(self.bottleneck(torch.cat(outs, dim=1)))
+
+
+class _PPMConcat(nn.ModuleList):
+    """ref ann_head.py:10-29."""
+
+    def __init__(self, pool_scales=(1, 3, 6, 8)):
+        super().__init__([nn.AdaptiveAvgPool2d(s) for s in pool_scales])
+
+    def forward(self, feats):
+        outs = [p(feats).view(*feats.shape[:2], -1) for p in self]
+        return torch.cat(outs, dim=2)
+
+
+class _ANNSelfAttention(nn.Module):
+    """ref ann_head.py:32-77 + self_attention_block.py:131-159: normed
+    ConvModule key/query projections, bare value/out convs, key/value
+    pyramid-pooled AFTER projection, matmul_norm."""
+
+    def __init__(self, low_in, high_in, channels, out_channels,
+                 share_key_query=False, key_pool_scales=(1, 3, 6, 8)):
+        super().__init__()
+        self.channels = channels
+        self.share = share_key_query
+        self.key_project = ConvModule(low_in, channels, 1)
+        if not share_key_query:
+            self.query_project = ConvModule(high_in, channels, 1)
+        self.value_project = nn.Conv2d(low_in, channels, 1)
+        self.out_project = nn.Conv2d(channels, out_channels, 1)
+        self.key_psp = _PPMConcat(key_pool_scales)
+
+    def forward(self, query_feats, key_feats):
+        b = query_feats.size(0)
+        qp = self.key_project if self.share else self.query_project
+        query = qp(query_feats).reshape(b, self.channels, -1).permute(
+            0, 2, 1)
+        key = self.key_psp(self.key_project(key_feats))
+        value = self.key_psp(self.value_project(key_feats)).permute(
+            0, 2, 1)
+        sim = torch.matmul(query, key) * self.channels ** -0.5
+        sim = F.softmax(sim, dim=-1)
+        ctx = torch.matmul(sim, value).permute(0, 2, 1).reshape(
+            b, -1, *query_feats.shape[2:])
+        return self.out_project(ctx)
+
+
+class AFNB(nn.Module):
+    """ref ann_head.py:80-131."""
+
+    def __init__(self, low_in, high_in, channels, out_channels):
+        super().__init__()
+        self.stages = nn.ModuleList([_ANNSelfAttention(
+            low_in, high_in, channels, out_channels)])
+        self.bottleneck = ConvModule(out_channels + high_in, out_channels,
+                                     1, act=False)
+
+    def forward(self, low, high):
+        ctx = self.stages[0](high, low)
+        return self.bottleneck(torch.cat([ctx, high], dim=1))
+
+
+class APNB(nn.Module):
+    """ref ann_head.py:134-181."""
+
+    def __init__(self, in_ch, channels, out_channels):
+        super().__init__()
+        self.stages = nn.ModuleList([_ANNSelfAttention(
+            in_ch, in_ch, channels, out_channels, share_key_query=True)])
+        self.bottleneck = ConvModule(2 * in_ch, out_channels, 1)
+
+    def forward(self, feats):
+        ctx = self.stages[0](feats, feats)
+        return self.bottleneck(torch.cat([ctx, feats], dim=1))
+
+
+class ANNHead(nn.Module):
+    """ref ann_head.py:184-245."""
+
+    def __init__(self, in_channels, channels, project_channels,
+                 num_classes, in_index=(0, 1)):
+        super().__init__()
+        self.in_index = in_index
+        low_in, high_in = in_channels
+        self.fusion = AFNB(low_in, high_in, project_channels, high_in)
+        self.bottleneck = ConvModule(high_in, channels, 3, padding=1)
+        self.context = APNB(channels, project_channels, channels)
+        self.conv_seg = nn.Conv2d(channels, num_classes, 1)
+
+    def forward(self, inputs):
+        low, high = (inputs[i] for i in self.in_index)
+        out = self.fusion(low, high)
+        out = self.bottleneck(out)
+        out = self.context(out)
+        return self.conv_seg(out)
