@@ -45,6 +45,11 @@ _KEY_RULES = [
      r'decoder_\1.convs_\2.'),
     (r'\bdecoder\.(\d)\.upsample\.interp_upsample\.1\.', r'up_conv_\1.'),
     (r'\bdecoder\.(\d)\.upsample\.(?=(?:conv|bn)\.)', r'up_conv_\1.'),
+    # FPNHead scale heads (ref fpn_head.py:30-52): Sequentials interleave
+    # param-free Upsamples, so conv slots are 0,2,4 -> _0,_1,_2
+    (r'\bscale_heads\.(\d)\.0\.', r'scale_heads_\1_0.'),
+    (r'\bscale_heads\.(\d)\.2\.', r'scale_heads_\1_1.'),
+    (r'\bscale_heads\.(\d)\.4\.', r'scale_heads_\1_2.'),
     # ANN head (ref ann_head.py:103-181): per-query-scale attention
     # stages; this framework nests the SelfAttentionBlock under 'attn'
     (r'\bstages\.(\d+)\.', r'stages_\1.attn.'),

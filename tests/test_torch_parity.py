@@ -1473,3 +1473,62 @@ class TestANNHeadParity:
         f_out = np.asarray(fhead.apply(nv, feats),
                            np.float32).transpose(0, 3, 1, 2)
         np.testing.assert_allclose(f_out, t_out, rtol=1e-4, atol=1e-4)
+
+
+class TestFPNParity:
+    """FPN neck + FPNHead head-only vs torch oracles: the neck's act-free
+    biased laterals/fpn convs and nearest top-down fusion; the head's
+    interleaved conv/upsample scale-head Sequential key layout."""
+
+    def test_neck(self, tmp_path):
+        from torch_ref.fpn import FPN as TFPN
+        from segdistill_tpu.models.builder import build_neck
+        from segdistill_tpu.convert.torch_loader import translate_state_dict
+        tneck = _randomize(TFPN([32, 64, 96, 128], 48, 4),
+                           seed=161).eval()
+        fneck = build_neck(dict(type='FPN',
+                                in_channels=[32, 64, 96, 128],
+                                out_channels=48, num_outs=4))
+        rs = np.random.RandomState(162)
+        xs = [rs.randn(2, c, s, s).astype(np.float32)
+              for c, s in zip((32, 64, 96, 128), (32, 16, 8, 4))]
+        feats = [jnp.asarray(x.transpose(0, 2, 3, 1)) for x in xs]
+        variables = fneck.init({'params': jax.random.PRNGKey(0)}, feats)
+        sd = {k: t.numpy() for k, t in tneck.state_dict().items()}
+        nv, matched, missing, unexpected = translate_state_dict(
+            sd, variables)
+        assert not missing and not unexpected, (missing, unexpected)
+        with torch.no_grad():
+            t_outs = tneck([torch.from_numpy(x) for x in xs])
+        f_outs = fneck.apply(nv, feats)
+        for i, (t, f) in enumerate(zip(t_outs, f_outs)):
+            np.testing.assert_allclose(
+                np.asarray(f, np.float32).transpose(0, 3, 1, 2),
+                t.numpy(), rtol=1e-4, atol=1e-5,
+                err_msg=f'FPN neck level {i} diverged')
+
+    def test_head(self, tmp_path):
+        from torch_ref.fpn import FPNHead as TFPNHead
+        from segdistill_tpu.models.builder import build_head
+        from segdistill_tpu.convert.torch_loader import translate_state_dict
+        thead = _randomize(TFPNHead([48] * 4, 32, 19), seed=163).eval()
+        fhead = build_head(dict(
+            type='FPNHead', in_channels=[48] * 4, in_index=[0, 1, 2, 3],
+            feature_strides=(4, 8, 16, 32),
+            input_transform='multiple_select', channels=32,
+            dropout_ratio=0.0, num_classes=19, norm_cfg=NORM,
+            align_corners=False))
+        rs = np.random.RandomState(164)
+        xs = [rs.randn(2, 48, s, s).astype(np.float32)
+              for s in (32, 16, 8, 4)]
+        feats = [jnp.asarray(x.transpose(0, 2, 3, 1)) for x in xs]
+        variables = fhead.init({'params': jax.random.PRNGKey(0)}, feats)
+        sd = {k: t.numpy() for k, t in thead.state_dict().items()}
+        nv, matched, missing, unexpected = translate_state_dict(
+            sd, variables)
+        assert not missing and not unexpected, (missing, unexpected)
+        with torch.no_grad():
+            t_out = thead([torch.from_numpy(x) for x in xs]).numpy()
+        f_out = np.asarray(fhead.apply(nv, feats),
+                           np.float32).transpose(0, 3, 1, 2)
+        np.testing.assert_allclose(f_out, t_out, rtol=1e-4, atol=1e-4)
