@@ -51,8 +51,10 @@ _KEY_RULES = [
     (r'\bscale_heads\.(\d)\.2\.', r'scale_heads_\1_1.'),
     (r'\bscale_heads\.(\d)\.4\.', r'scale_heads_\1_2.'),
     # ANN head (ref ann_head.py:103-181): per-query-scale attention
-    # stages; this framework nests the SelfAttentionBlock under 'attn'
-    (r'\bstages\.(\d+)\.', r'stages_\1.attn.'),
+    # stages; this framework nests the SelfAttentionBlock under 'attn'.
+    # Anchored to the AFNB/APNB parents so backbones with a 'stages.N.'
+    # layout (mmcls Swin/ConvNeXt-style checkpoints) are untouched.
+    (r'\b(fusion|context)\.stages\.(\d+)\.', r'\1.stages_\2.attn.'),
     # APC / DM heads: ModuleList indices -> flat child names
     (r'\bacm_modules\.(\d+)\.', r'acm_\1.'),
     (r'\bdcm_modules\.(\d+)\.', r'dcm_\1.'),

@@ -118,7 +118,8 @@ class ANNHead(BaseDecodeHead):
         # ref applies the head dropout between fusion and bottleneck
         # (ann_head.py:239-241)
         if self.dropout_ratio > 0:
-            out = nn.Dropout(self.dropout_ratio,
+            # torch nn.Dropout2d: channel-wise drop (ref decode_head.py:85)
+            out = nn.Dropout(self.dropout_ratio, broadcast_dims=(1, 2),
                              deterministic=not train,
                              name='fusion_dropout')(out)
         out = ConvModule(out_channels=self.channels, kernel_size=3,

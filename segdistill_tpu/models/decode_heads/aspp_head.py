@@ -6,7 +6,7 @@ import jax.numpy as jnp
 
 from ...ops import resize
 from ..builder import HEADS
-from ..utils import ConvModule
+from ..utils import ConvModule, DepthwiseSeparableConvModule
 from .decode_head import BaseDecodeHead
 
 
@@ -27,7 +27,6 @@ class ASPPHead(BaseDecodeHead):
             if separable and d > 1:
                 # DeepLabV3+ replaces dilated branches with depthwise-
                 # separable convs (ref sep_aspp_head.py:10-25)
-                from ..utils import DepthwiseSeparableConvModule
                 outs.append(DepthwiseSeparableConvModule(
                     out_channels=self.channels, kernel_size=3,
                     padding=d, dilation=d, norm_cfg=self.norm_cfg,

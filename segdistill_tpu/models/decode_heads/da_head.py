@@ -88,7 +88,10 @@ class DAHead(BaseDecodeHead):
     def _aux_cls_seg(self, feat, name, train):
         """ref pam_cls_seg/cam_cls_seg: shared dropout rate, own conv."""
         if self.dropout_ratio > 0:
-            feat = nn.Dropout(self.dropout_ratio, deterministic=not train,
+            # torch nn.Dropout2d drops whole channels (ref decode_head
+            # dropout shared by pam/cam_cls_seg)
+            feat = nn.Dropout(self.dropout_ratio, broadcast_dims=(1, 2),
+                              deterministic=not train,
                               name=f'{name}_dropout')(feat)
         return nn.Conv(self.num_classes, (1, 1), dtype=feat.dtype,
                        name=name)(feat)

@@ -31,6 +31,7 @@ class ConvModule(nn.Module):
     act_cfg: object = 'default'
     order: tuple = ('conv', 'norm', 'act')
     default_act: dict = None  # class-level default when act_cfg is unset
+    zero_init: bool = False  # zero kernel+bias (mmcv constant_init(m, 0))
 
     def _act_cfg(self):
         if self.act_cfg != 'default':
@@ -69,6 +70,8 @@ class ConvModule(nn.Module):
                 use_bias=bool(use_bias), dtype=x.dtype,
                 use_tap=use_tap, name='conv')
         else:
+            init_kw = dict(kernel_init=nn.initializers.zeros) \
+                if self.zero_init else {}
             conv = nn.Conv(
                 features=self.out_channels,
                 kernel_size=k,
@@ -78,7 +81,7 @@ class ConvModule(nn.Module):
                 feature_group_count=self.groups,
                 use_bias=bool(use_bias),
                 dtype=x.dtype,
-                name='conv')
+                name='conv', **init_kw)
         # child named by norm kind ('bn'/'gn'/'ln'), matching the torch
         # ConvModule layout — keeps mmcv custom_keys substring rules (e.g.
         # 'norm': decay_mult 0) behaving exactly like the reference

@@ -2,6 +2,7 @@
 (ref contract: mmseg/models/utils/inverted_residual.py)."""
 
 import flax.linen as nn
+import jax.numpy as jnp
 
 from .conv_module import ConvModule
 from .se_layer import SELayer
@@ -62,9 +63,24 @@ class InvertedResidualV3(nn.Module):
             out = ConvModule(out_channels=self.mid_channels, kernel_size=1,
                              norm_cfg=self.norm_cfg, act_cfg=act_cfg,
                              name='expand_conv')(out, train)
+        if self.stride == 2:
+            # ref inverted_residual.py:157-166: stride-2 depthwise uses
+            # Conv2dAdaptivePadding (TF-SAME, asymmetric on even inputs)
+            k, s = self.kernel_size, self.stride
+
+            def _same(size):
+                return max((-(-size // s) - 1) * s
+                           + (k - 1) * self.dilation + 1 - size, 0)
+
+            ph, pw = _same(out.shape[1]), _same(out.shape[2])
+            out = jnp.pad(out, ((0, 0), (ph // 2, ph - ph // 2),
+                                (pw // 2, pw - pw // 2), (0, 0)))
+            dw_pad = 0
+        else:
+            dw_pad = self.dilation * (self.kernel_size - 1) // 2
         out = ConvModule(out_channels=self.mid_channels,
                          kernel_size=self.kernel_size, stride=self.stride,
-                         padding=self.dilation * (self.kernel_size - 1) // 2,
+                         padding=dw_pad,
                          dilation=self.dilation,
                          groups=self.mid_channels,
                          norm_cfg=self.norm_cfg, act_cfg=act_cfg,

@@ -35,12 +35,14 @@ class SelfAttentionBlock(nn.Module):
     norm_cfg: dict = None
     act_cfg: dict = None
 
-    def _project(self, x, channels, num_convs, use_norm, name, train):
+    def _project(self, x, channels, num_convs, use_norm, name, train,
+                 zero_init=False):
         for i in range(num_convs):
             norm = self.norm_cfg if use_norm else None
             act = self.act_cfg if use_norm else None
             x = ConvModule(out_channels=channels, kernel_size=1,
                            norm_cfg=norm, act_cfg=act,
+                           zero_init=zero_init,
                            name=f'{name}_{i}')(x, train=train)
         return x
 
@@ -103,8 +105,11 @@ class SelfAttentionBlock(nn.Module):
         ctx = ctx.reshape(b, hq, wq, -1)
         if self.with_out:
             # ref self_attention_block.py:76-83: out_project uses
-            # value_out_num_convs too
+            # value_out_num_convs too; bare (un-normed) out projections
+            # are ZERO-initialized (ref :94-97 constant_init(m, 0)) so
+            # the attention residual starts as identity
             ctx = self._project(ctx, self.out_channels,
                                 self.value_out_num_convs,
-                                self.value_out_norm, 'out_project', train)
+                                self.value_out_norm, 'out_project', train,
+                                zero_init=not self.value_out_norm)
         return ctx

@@ -80,10 +80,13 @@ class InvertedResidualV3(nn.Module):
         self.with_expand_conv = with_expand_conv
         if with_expand_conv:
             self.expand_conv = ConvBNAct(in_ch, mid_ch, 1, act=act)
+        # stride-2 depthwise uses Conv2dAdaptivePadding (TF-SAME,
+        # ref inverted_residual.py:157-166); padding handled in forward
+        self._dw_stride, self._dw_k, self._dw_dil = stride, k, dilation
         self.depthwise_conv = ConvBNAct(
             mid_ch, mid_ch, k, stride=stride,
-            padding=dilation * (k - 1) // 2, dilation=dilation,
-            groups=mid_ch, act=act)
+            padding=0 if stride == 2 else dilation * (k - 1) // 2,
+            dilation=dilation, groups=mid_ch, act=act)
         if with_se:
             self.se = SELayer(mid_ch)
         self._se = with_se
@@ -93,6 +96,14 @@ class InvertedResidualV3(nn.Module):
         out = x
         if self.with_expand_conv:
             out = self.expand_conv(out)
+        if self._dw_stride == 2:
+            s, k, d = self._dw_stride, self._dw_k, self._dw_dil
+            ph = max((-(-out.shape[2] // s) - 1) * s
+                     + (k - 1) * d + 1 - out.shape[2], 0)
+            pw = max((-(-out.shape[3] // s) - 1) * s
+                     + (k - 1) * d + 1 - out.shape[3], 0)
+            out = F.pad(out, (pw // 2, pw - pw // 2,
+                              ph // 2, ph - ph // 2))
         out = self.depthwise_conv(out)
         if self._se:
             out = self.se(out)
