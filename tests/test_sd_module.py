@@ -151,3 +151,41 @@ def test_sdmodule_mt_random_ensemble():
     assert 'loss_random' in losses
     total, log_vars = parse_losses(losses)
     assert np.isfinite(float(total))
+
+
+def test_cross_architecture_taps():
+    """exp_tab5 psp_CGD contract (ref local_configs/exp_tab5/psp_CGD.py:
+    54-67): a CNN student taps 'decode_head.conv_seg' while the MiT
+    teacher taps 'decode_head.linear_pred' — different tap names AND
+    logits produced by structurally unrelated heads."""
+    model = build_segmentor(dict(
+        type='SDModule',
+        cfg_s=dict(
+            type='EncoderDecoder',
+            backbone=dict(type='ResNet', depth=18, num_stages=4,
+                          out_indices=(0, 1, 2, 3),
+                          norm_cfg=dict(type='BN')),
+            decode_head=dict(
+                type='FCNHead', in_channels=512, in_index=3, channels=16,
+                num_convs=1, concat_input=False, dropout_ratio=0.0,
+                num_classes=19, norm_cfg=dict(type='BN'),
+                align_corners=False)),
+        cfg_t=_enc('mit_b0', [32, 64, 160, 256], 64, num_classes=19),
+        distillation=[dict(student_layer='decode_head.conv_seg',
+                           teacher_layer='decode_head.linear_pred',
+                           loss_name='CGDLoss',
+                           loss_config=dict(group_size=10, alpha=3,
+                                            tau=2))]))
+    v = model.init_variables(jax.random.key(0), (1, 32, 32, 3))
+    img = jnp.asarray(np.random.RandomState(0).randn(1, 32, 32, 3),
+                      jnp.float32)
+    gt = jnp.zeros((1, 32, 32), jnp.int32)
+    losses, _ = model.forward_train(
+        v['student'], v['teacher'], img, gt, step=1,
+        rngs={'dropout': jax.random.key(1)},
+        shuffle_rng=jax.random.key(2))
+    from segdistill_tpu.models.segmentors import parse_losses
+    key = 'loss_decode_head.conv_seg<->decode_head.linear_pred_other'
+    assert key in losses, sorted(losses)
+    total, _ = parse_losses(losses)
+    assert np.isfinite(float(total)) and float(losses[key]) > 0
