@@ -23,6 +23,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ...ops.dwconv import DepthwiseConv2d
+from ...ops.softmax import softmax_lastdim
 from ..builder import BACKBONES
 from ..utils import DropPath, trunc_normal_init
 
@@ -142,7 +143,11 @@ class Attention(nn.Module):
             attn = jnp.einsum('bhnd,bhmd->bhnm', q, k,
                               preferred_element_type=jnp.float32) * scale
             self.sow('feats', 'ATTN', attn)
-            attn = nn.softmax(attn, axis=-1).astype(x.dtype)
+            # native-dtype scores/probs, fp32-in-register softmax: under
+            # bf16 the (B, h, N, M) tensors all stay bf16 in HBM (the
+            # stage-1 score plane is the largest activation in the step);
+            # fp32 path is bit-identical to nn.softmax (ops/softmax.py)
+            attn = softmax_lastdim(attn.astype(x.dtype))
             attn = nn.Dropout(self.attn_drop)(attn,
                                               deterministic=deterministic)
             out = jnp.einsum('bhnm,bhmd->bhnd', attn, v)

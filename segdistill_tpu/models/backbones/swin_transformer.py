@@ -18,6 +18,7 @@ import numpy as np
 import flax.linen as nn
 import jax.numpy as jnp
 
+from ...ops.softmax import softmax_lastdim
 from ..builder import BACKBONES
 from ..utils import DropPath, trunc_normal_init
 
@@ -85,7 +86,10 @@ class WindowAttention(nn.Module):
             attn = attn.reshape(B_ // nW, nW, nh, N, N) \
                 + mask[None, :, None].astype(attn.dtype)
             attn = attn.reshape(-1, nh, N, N)
-        attn = nn.softmax(attn, axis=-1).astype(x.dtype)
+        # native-dtype scores/probs, fp32-in-register softmax (bf16 halves
+        # the window-attention HBM traffic; fp32 bit-identical) — see
+        # ops/softmax.py
+        attn = softmax_lastdim(attn.astype(x.dtype))
         attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
 
         out = jnp.einsum('bhnm,bhmd->bhnd', attn, v)

@@ -1,4 +1,5 @@
 from .resize import resize, resize_nchw
+from .softmax import softmax_lastdim
 from .wrappers import Upsample
 
-__all__ = ['resize', 'resize_nchw', 'Upsample']
+__all__ = ['resize', 'resize_nchw', 'softmax_lastdim', 'Upsample']

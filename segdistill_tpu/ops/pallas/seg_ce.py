@@ -226,12 +226,15 @@ def _fwd(logits, labels, out_hw, num_classes, ignore_index, interpret):
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(z, y)
+    # y (the phase-major label planes) rides along as a residual so the
+    # backward skips the int32 reshape+transpose (two ~0.2 ms layout
+    # copies at ADE scale); labels is kept only for its zero cotangent
     return ((jnp.sum(ce), jnp.sum(correct)),
-            (logits, labels, m_planes, se_planes))
+            (logits, labels, y, m_planes, se_planes))
 
 
 def _bwd(out_hw, num_classes, ignore_index, interpret, residuals, gbar):
-    logits, labels, m_planes, se_planes = residuals
+    logits, labels, y, m_planes, se_planes = residuals
     g_ce = gbar[0]  # cotangent of ce_sum (correct count: no gradient)
     # keep the input dtype (bf16 halves kernel HBM traffic); every tile is
     # upcast to fp32 in-register inside the kernel, so values are identical
@@ -241,7 +244,6 @@ def _bwd(out_hw, num_classes, ignore_index, interpret, residuals, gbar):
     rh, rw = out_hw[0] // h, out_hw[1] // w
     taps_h = tuple(_phase_taps(rh))
     taps_w = tuple(_phase_taps(rw))
-    y = _phase_labels(labels.astype(jnp.int32), rh, rw)
     scale = g_ce.astype(jnp.float32).reshape(1, 1)
     kernel = functools.partial(_bwd_kernel, taps_h, taps_w, n_tiles,
                                num_classes, ignore_index)
