@@ -64,19 +64,37 @@ class _ComposedFuse(nn.Module):
 
     @nn.compact
     def __call__(self, parts, embeds, train=False):
+        from ...ops.pallas import (can_use_fused_resize_sum,
+                                   fused_resize_sum)
         E_total = self.features
         kernel = _Kernel(E_total, len(parts) * E_total, name='conv')()
         out_hw = parts[-1].shape[1:3]
         acc = None
+        ups = []
         for idx, (c, (E, b)) in enumerate(zip(parts, embeds)):
             W = kernel[idx * E_total:(idx + 1) * E_total]
             K = E.astype(jnp.float32) @ W.astype(jnp.float32)
             cb = b.astype(jnp.float32) @ W.astype(jnp.float32)
             part = c @ K.astype(c.dtype) + cb.astype(c.dtype)
             if c.shape[1:3] != out_hw:
-                part = resize(part, size=out_hw, mode='bilinear',
-                              align_corners=False)
+                ups.append(part)
+                continue
             acc = part if acc is None else acc + part
+        if ups:
+            # the sub-resolution parts' upsample+sum is one fused Pallas
+            # pass when eligible (ops/pallas/resize_sum.py — measured
+            # ~2x the XLA interpolation-matmul chain on the B3 teacher
+            # head); gradients keep the XLA resize adjoint
+            if can_use_fused_resize_sum([p.shape for p in ups], out_hw,
+                                        dtype=ups[0].dtype):
+                s = fused_resize_sum(tuple(ups), out_hw)
+            else:
+                s = None
+                for part in ups:
+                    part = resize(part, size=out_hw, mode='bilinear',
+                                  align_corners=False)
+                    s = part if s is None else s + part
+            acc = s if acc is None else acc + s
         h = NormLayer(self.norm_cfg, name='bn')(acc, train=train)
         return nn.relu(h)
 
