@@ -31,7 +31,24 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .group_kl import _lerp_axis, _phase_taps, _unshift_add
 
-_CTILE = 32  # channels per tile; C padded with -1e9 to a multiple
+_CTILE = 32  # fallback channels-per-tile; C padded with -1e9 to a multiple
+
+
+def _pick_ctile(c):
+    """Largest divisor of C in [16, 40], else the padding fallback.
+
+    A divisor tile needs no channel pad, so the kernel consumes the same
+    row-major (B, C, h, w) buffer the group-KL kernel bitcast-reshapes
+    from — one canonical NCHW logits tensor instead of a padded variant
+    (measured ~0.5 ms/step of pad+layout copies at ADE scale, C=150 ->
+    ct=30). Channels are an *outer* dim of the block, so any tile size
+    slices for free. Capped at 40: the backward's 9 shift-bucket
+    accumulators are (ct, h, w) fp32 each, and ct=50 blew the 108 MB
+    scoped-VMEM stack at ADE shapes."""
+    for ct in range(min(40, c), 15, -1):
+        if c % ct == 0:
+            return ct
+    return _CTILE
 
 
 def _phase_labels(labels, rh, rw):
@@ -53,9 +70,8 @@ def _pad_channels(z, ct):
     return z
 
 
-def _fwd_kernel(taps_h, taps_w, n_tiles, num_classes, ignore_index,
+def _fwd_kernel(taps_h, taps_w, ct, n_tiles, num_classes, ignore_index,
                 z_ref, y_ref, ce_ref, correct_ref, m_ref, se_ref):
-    ct = _CTILE
     ce_sum = jnp.float32(0.0)
     correct = jnp.float32(0.0)
     pi = 0
@@ -104,53 +120,59 @@ def _fwd_kernel(taps_h, taps_w, n_tiles, num_classes, ignore_index,
     correct_ref[0, 0, 0] = correct
 
 
-def _bwd_kernel(taps_h, taps_w, n_tiles, num_classes, ignore_index,
-                scale_ref, z_ref, y_ref, m_ref, se_ref, dz_ref, acc_ref):
-    ct = _CTILE
+def _bwd_kernel(taps_h, taps_w, ct, n_tiles, num_classes, ignore_index,
+                scale_ref, z_ref, y_ref, m_ref, se_ref, dz_ref):
     scale = scale_ref[0, 0]
-    # fp32 VMEM scratch accumulates across phases/tiles; the output block
-    # is written once in the input dtype (bf16 halves the HBM write and
-    # drops the downstream convert pass)
-    acc_ref[...] = jnp.zeros_like(acc_ref[...])
-    pi = 0
-    for dh, fh in taps_h:
-        for dw, fw in taps_w:
-            y = y_ref[0, pi]
-            valid = (y != ignore_index) & (y >= 0) & (y < num_classes)
-            y_safe = jnp.where(valid, y, 0)
-            vs = valid.astype(jnp.float32) * scale
 
-            # per-phase softmax stats are residuals saved by the forward
-            # kernel — no stats recompute pass here
-            m = m_ref[0, pi]
-            inv_se = 1.0 / se_ref[0, pi]
-
-            def gradloop(t, _):
-                zt = z_ref[0, pl.ds(t * ct, ct)].astype(jnp.float32)
-                plane = _lerp_axis(_lerp_axis(zt, dh, fh, 1), dw, fw, 2)
+    # tile-outer / phase-inner: each channel tile streams from the z block
+    # ONCE (the phase-outer form re-read it per phase), the h-lerp is
+    # hoisted per dh tap (4 instead of 16 at 4x4 upsample), and the lerp
+    # transpose uses the shift-grouped scatter of group_kl._bwd_kernel —
+    # 4 weighted adds per phase into 3x3 shift buckets, the 9 unshift
+    # transposes run once per tile. Each dz tile is written exactly once
+    # (no scratch accumulator RMW).
+    def gradloop(t, _):
+        zt = z_ref[0, pl.ds(t * ct, ct)].astype(jnp.float32)
+        buckets = {}
+        pi = 0
+        for dh, fh in taps_h:
+            zh = _lerp_axis(zt, dh, fh, 1)
+            for dw, fw in taps_w:
+                y = y_ref[0, pi]
+                valid = (y != ignore_index) & (y >= 0) & (y < num_classes)
+                y_safe = jnp.where(valid, y, 0)
+                vs = valid.astype(jnp.float32) * scale
+                # per-phase softmax stats are residuals saved by the
+                # forward kernel — no stats recompute pass here
+                m = m_ref[0, pi]
+                inv_se = 1.0 / se_ref[0, pi]
+                plane = _lerp_axis(zh, dw, fw, 2)
                 p = jnp.exp(plane - m[None]) * inv_se[None]
                 cls_idx = jax.lax.broadcasted_iota(
                     jnp.int32, plane.shape, 0) + t * ct
                 onehot = (cls_idx == y_safe[None]).astype(jnp.float32)
                 g = (p - onehot) * vs[None]
-                if fw != 0.0 or dw != 0:
-                    gw = jnp.zeros_like(g)
-                    gw = _unshift_add(gw, (1.0 - fw) * g, dw, 2)
-                    gw = _unshift_add(gw, fw * g, dw + 1, 2)
-                else:
-                    gw = g
-                if fh != 0.0 or dh != 0:
-                    gh = jnp.zeros_like(gw)
-                    gh = _unshift_add(gh, (1.0 - fh) * gw, dh, 1)
-                    gh = _unshift_add(gh, fh * gw, dh + 1, 1)
-                else:
-                    gh = gw
-                acc_ref[pl.ds(t * ct, ct)] += gh
-                return 0
+                for sh, wh in ((dh, 1.0 - fh), (dh + 1, fh)):
+                    for sw, ww in ((dw, 1.0 - fw), (dw + 1, fw)):
+                        wgt = wh * ww
+                        if wgt == 0.0:
+                            continue
+                        v = g if wgt == 1.0 else wgt * g
+                        key = (sh, sw)
+                        buckets[key] = v if key not in buckets \
+                            else buckets[key] + v
+                pi += 1
+        out = jnp.zeros_like(zt)
+        for (sh, sw), v in sorted(buckets.items()):
+            if sw != 0:
+                v = _unshift_add(jnp.zeros_like(v), v, sw, 2)
+            if sh != 0:
+                v = _unshift_add(jnp.zeros_like(v), v, sh, 1)
+            out = out + v
+        dz_ref[0, pl.ds(t * ct, ct)] = out.astype(dz_ref.dtype)
+        return 0
 
-            jax.lax.fori_loop(0, n_tiles, gradloop, 0)
-            pi += 1
-    dz_ref[0] = acc_ref[...].astype(dz_ref.dtype)
+    jax.lax.fori_loop(0, n_tiles, gradloop, 0)
 
 
 def can_use_fused_ce(logits_shape, out_hw, align_corners=False):
@@ -162,10 +184,12 @@ def can_use_fused_ce(logits_shape, out_hw, align_corners=False):
         return False
     if (H // h) * (W // w) > 256:
         return False
-    c_pad = c + (-c) % _CTILE
+    ct = _pick_ctile(c)
+    c_pad = c + (-c) % ct
     n_phase = (H // h) * (W // w)
-    # source block + grad accumulator + saved stats planes + temporaries
-    if (2 * c_pad + 4 * n_phase + 8 * _CTILE) * h * w * 4 \
+    # source block + saved stats planes + the backward's 9 shift-bucket
+    # accumulators (ct, h, w) + temporaries
+    if (2 * c_pad + 4 * n_phase + 14 * ct) * h * w * 4 \
             > 90 * 1024 * 1024:
         return False
     try:
@@ -187,14 +211,15 @@ def fused_seg_ce(logits, labels, out_hw, num_classes, ignore_index=255,
 def _fwd(logits, labels, out_hw, num_classes, ignore_index, interpret):
     # keep the input dtype (bf16 halves kernel HBM traffic); every tile is
     # upcast to fp32 in-register inside the kernel, so values are identical
-    z = _pad_channels(logits, _CTILE)
+    ct = _pick_ctile(logits.shape[1])
+    z = _pad_channels(logits, ct)
     b, c, h, w = z.shape
-    n_tiles = c // _CTILE
+    n_tiles = c // ct
     rh, rw = out_hw[0] // h, out_hw[1] // w
     taps_h = tuple(_phase_taps(rh))
     taps_w = tuple(_phase_taps(rw))
     y = _phase_labels(labels.astype(jnp.int32), rh, rw)
-    kernel = functools.partial(_fwd_kernel, taps_h, taps_w, n_tiles,
+    kernel = functools.partial(_fwd_kernel, taps_h, taps_w, ct, n_tiles,
                                num_classes, ignore_index)
     n_phase = rh * rw
     ce, correct, m_planes, se_planes = pl.pallas_call(
@@ -238,14 +263,15 @@ def _bwd(out_hw, num_classes, ignore_index, interpret, residuals, gbar):
     g_ce = gbar[0]  # cotangent of ce_sum (correct count: no gradient)
     # keep the input dtype (bf16 halves kernel HBM traffic); every tile is
     # upcast to fp32 in-register inside the kernel, so values are identical
-    z = _pad_channels(logits, _CTILE)
+    ct = _pick_ctile(logits.shape[1])
+    z = _pad_channels(logits, ct)
     b, c, h, w = z.shape
-    n_tiles = c // _CTILE
+    n_tiles = c // ct
     rh, rw = out_hw[0] // h, out_hw[1] // w
     taps_h = tuple(_phase_taps(rh))
     taps_w = tuple(_phase_taps(rw))
     scale = g_ce.astype(jnp.float32).reshape(1, 1)
-    kernel = functools.partial(_bwd_kernel, taps_h, taps_w, n_tiles,
+    kernel = functools.partial(_bwd_kernel, taps_h, taps_w, ct, n_tiles,
                                num_classes, ignore_index)
     n_phase = rh * rw
     dz = pl.pallas_call(
@@ -266,7 +292,6 @@ def _bwd(out_hw, num_classes, ignore_index, interpret, residuals, gbar):
         out_specs=pl.BlockSpec((1, c, h, w), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, c, h, w), z.dtype),
-        scratch_shapes=[pltpu.VMEM((c, h, w), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,

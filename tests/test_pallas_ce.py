@@ -57,6 +57,29 @@ def test_gradient_matches():
                                atol=1e-7)
 
 
+@pytest.mark.parametrize('c', [20, 67])
+def test_channel_tile_paths(c):
+    """Divisor channel tile (c=20 -> ct=20, no pad — the production
+    C=150 -> ct=30 path) and the pad fallback (c=67 prime -> ct=32)."""
+    from segdistill_tpu.ops.pallas.seg_ce import _pick_ctile
+    assert _pick_ctile(150) == 30 and _pick_ctile(20) == 20 \
+        and _pick_ctile(67) == 32
+    logits, labels, out_hw = _data(c=c, h=4, r=2, seed=5)
+
+    def f_fused(z):
+        return fused_seg_ce(z, labels, out_hw, c, 255,
+                            interpret=True)[0] / labels.size
+
+    def f_ref(z):
+        return _ref(z, labels, out_hw, c)[0] / labels.size
+
+    assert float(f_fused(logits)) == pytest.approx(float(f_ref(logits)),
+                                                   rel=1e-5)
+    np.testing.assert_allclose(np.asarray(jax.grad(f_fused)(logits)),
+                               np.asarray(jax.grad(f_ref)(logits)),
+                               rtol=1e-4, atol=1e-7)
+
+
 def test_all_ignored():
     logits, labels, out_hw = _data()
     labels = jnp.full_like(labels, 255)
