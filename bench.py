@@ -21,15 +21,55 @@ device stream drains, so only a device->host readback is a trustworthy
 fence.
 
 Prints ONE JSON line.
+
+Driver-proofing (round 4, after BENCH_r03 rc=124 produced no number):
+  * persistent XLA compilation cache at .jax_cache/ — a warmed cache turns
+    the multi-minute first compile into seconds on subsequent runs;
+  * per-phase progress lines on stderr so a timeout tail shows *where*;
+  * an internal wall-clock budget (BENCH_BUDGET_S, default 480 s): a
+    SIGALRM handler emits the best partial JSON before any external
+    timeout can kill the process silently;
+  * BENCH_SKIP_INFERENCE=1 skips the inference phase; the inference phase
+    is also skipped automatically when the budget is nearly spent and is
+    wrapped in try/except — the training number always gets printed.
 """
 
 import json
 import os
+import signal
+import sys
 import time
 
 import numpy as np
 
 REFERENCE_IMGS_PER_SEC_PER_CHIP = 8.0
+
+BUDGET_S = float(os.environ.get('BENCH_BUDGET_S', '480'))
+_T_START = time.monotonic()
+_PARTIAL = {
+    'metric': 'cgd_distill_train_imgs_per_sec_per_chip',
+    'value': None,
+    'unit': 'imgs/sec/chip (B0<-B3, 512x512, batch 8, bf16)',
+    'vs_baseline': None,
+    'phase': 'startup',
+}
+
+
+def _progress(msg):
+    print('[bench %6.1fs] %s' % (time.monotonic() - _T_START, msg),
+          file=sys.stderr, flush=True)
+    _PARTIAL['phase'] = msg
+
+
+def _emit(result):
+    print(json.dumps(result), flush=True)
+
+
+def _on_alarm(signum, frame):
+    _PARTIAL['error'] = 'internal budget (%ds) exceeded' % BUDGET_S
+    _emit(_PARTIAL)
+    sys.stderr.flush()
+    os._exit(3)
 
 # BENCH_BATCH env override: batch-scaling ladder runs (docs/perf.md)
 BATCH = int(os.environ.get('BENCH_BATCH', '8'))
@@ -45,6 +85,10 @@ TPU_V5E_PEAK = 197e12  # bf16 FLOP/s per chip
 
 def build():
     import jax
+    jax.config.update('jax_compilation_cache_dir',
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   '.jax_cache'))
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
     from segdistill_tpu.engine import (build_lr_schedule, build_optimizer,
                                        build_train_step, create_train_state)
     from segdistill_tpu.models import build_segmentor
@@ -75,8 +119,10 @@ def build():
         }],
         train_cfg=dict(), test_cfg=dict(mode='whole'))
     model = build_segmentor(model_cfg)
-    variables = model.init_variables(jax.random.key(0),
-                                     (1, CROP, CROP, 3))
+    # init at 64x64: MiT/SegFormerHead param shapes are input-size
+    # independent, and initializing at full 512x512 compiles a complete
+    # B3 forward just to draw weights (~minutes on the tunneled chip)
+    variables = model.init_variables(jax.random.key(0), (1, 64, 64, 3))
 
     lr_sched = build_lr_schedule(
         dict(policy='poly', warmup='linear', warmup_iters=1500,
@@ -107,10 +153,12 @@ def build():
 
 def bench_train(step_fn, state, teacher_vars, batch):
     import jax
+    _progress('train: compiling + warmup (3 steps)')
     for _ in range(3):
         state, log_vars = step_fn(state, teacher_vars, batch['img'],
                                   batch['gt'])
     float(jax.device_get(log_vars['loss']))  # hard fence (see docstring)
+    _progress('train: timing 20 steps')
 
     iters = 20
     t0 = time.perf_counter()
@@ -160,26 +208,45 @@ def bench_inference(model, state, mesh):
 
 
 def main():
+    signal.signal(signal.SIGALRM, _on_alarm)
+    signal.alarm(int(BUDGET_S))
+
     import jax
     n_chips = len(jax.devices())
+    _progress('building model (%d chip(s))' % n_chips)
     model, step_fn, state, teacher_vars, batch, mesh = build()
 
     imgs_per_sec, step_s, state = bench_train(step_fn, state, teacher_vars,
                                                batch)
     per_chip = imgs_per_sec / n_chips
-    inf_fps = bench_inference(model, state, mesh)
-
-    print(json.dumps({
+    result = {
         'metric': 'cgd_distill_train_imgs_per_sec_per_chip',
         'value': round(per_chip, 3),
         'unit': 'imgs/sec/chip (B0<-B3, 512x512, batch 8, bf16)',
         'vs_baseline': round(per_chip / REFERENCE_IMGS_PER_SEC_PER_CHIP, 3),
         'step_ms': round(step_s * 1000, 2),
         'mfu': round(per_chip * FLOPS_PER_IMG / TPU_V5E_PEAK, 4),
-        'inference_fps_b0_512': round(inf_fps, 2),
         'baseline_derivation': 'BASELINE.md#throughput (8.0 imgs/s/GPU '
                                'favourable-to-reference estimate)',
-    }))
+    }
+    _PARTIAL.update(result)
+    _progress('train done: %.1f imgs/s/chip' % per_chip)
+
+    elapsed = time.monotonic() - _T_START
+    skip_inf = os.environ.get('BENCH_SKIP_INFERENCE') == '1'
+    if not skip_inf and elapsed < BUDGET_S - 90:
+        try:
+            _progress('inference: compiling + timing')
+            result['inference_fps_b0_512'] = round(
+                bench_inference(model, state, mesh), 2)
+        except Exception as e:  # noqa: BLE001 — never lose the train number
+            result['inference_error'] = '%s: %s' % (type(e).__name__, e)
+    else:
+        result['inference_skipped'] = ('env' if skip_inf else
+                                       'budget (%.0fs elapsed)' % elapsed)
+
+    signal.alarm(0)
+    _emit(result)
 
 
 if __name__ == '__main__':

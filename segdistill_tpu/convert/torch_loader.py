@@ -55,6 +55,9 @@ _KEY_RULES = [
     # Anchored to the AFNB/APNB parents so backbones with a 'stages.N.'
     # layout (mmcls Swin/ConvNeXt-style checkpoints) are untouched.
     (r'\b(fusion|context)\.stages\.(\d+)\.', r'\1.stages_\2.attn.'),
+    # PSA head (ref psa_head.py:64-96): attention/attention_p Sequentials
+    # of ConvModule + bare mask Conv2d -> attention[_p]_{0,1} children
+    (r'\battention(_p)?\.(\d)\.', r'attention\1_\2.'),
     # APC / DM heads: ModuleList indices -> flat child names
     (r'\bacm_modules\.(\d+)\.', r'acm_\1.'),
     (r'\bdcm_modules\.(\d+)\.', r'dcm_\1.'),

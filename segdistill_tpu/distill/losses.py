@@ -220,14 +220,20 @@ class CGDLoss(KLDLoss):
 
 
 class CGDLossWS(KLDLoss):
-    """CGD + linear warmup / early decay of alpha (ref losses.py:160-173)."""
+    """CGD + linear warmup / early decay of alpha (ref losses.py:160-173).
 
-    def __init__(self):
+    The reference ctor takes no kwargs, yet its own config
+    ``local_configs/exp_tab5/psp_CGD+WS.py:61-64`` passes ``group_size=5`` —
+    that config crashes at build time in the reference. We accept the same
+    kwargs as ``CGDLoss`` (the evident intent) so the config is buildable.
+    """
+
+    def __init__(self, group_size=10, alpha=3, tau=2):
         super().__init__(
-            alpha=3, tau=2,
+            alpha=alpha, tau=tau,
             resize_config={'mode': 'bilinear', 'align_corners': False},
             shuffle_config={'interval': 1000},
-            transform_config={'loss_type': 'channel', 'group_size': 10},
+            transform_config={'loss_type': 'channel', 'group_size': group_size},
             warmup_config={'mode': 'linear', 'warmup_iters': 2000},
             earlydecay_config={'mode': 'linear', 'earlydecay_start': 110000,
                                'earlydecay_end': 120000})

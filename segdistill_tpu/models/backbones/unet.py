@@ -59,6 +59,12 @@ class UNet(nn.Module):
     norm_eval: bool = False
     pretrained: str = None
     style: str = None
+    # accepted for config parity (ref _base_/models/*_unet_s5-d16.py):
+    # conv_cfg is always None in the reference corpus; with_cp (torch
+    # activation checkpointing) maps to remat, which the runner applies
+    # globally to the teacher — per-block remat is not needed here.
+    conv_cfg: dict = None
+    with_cp: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact

@@ -110,59 +110,78 @@ class DAHead(BaseDecodeHead):
         return loss
 
 
-@HEADS.register_module()
-class CCHead(BaseDecodeHead):
-    """Criss-cross attention head (ref cc_head.py). The native CUDA
-    criss-cross op becomes masked row+column attention — two recurrences
-    cover the full image like the reference."""
-    recurrence: int = 2
+class CrissCrossAttention(nn.Module):
+    """mmcv ``ops.CrissCrossAttention`` equivalent (ref cc_head.py:6-30
+    delegates to the compiled CUDA op; semantics per CCNet,
+    arXiv:1811.11721): every pixel attends over its full row + column via
+    a joint softmax with the self position counted ONCE (-inf on the
+    column-branch diagonal), aggregated values blended residually through
+    a zero-initialised scalar ``gamma`` (torch shape (1,), kept so the
+    checkpoint converter maps it 1:1)."""
 
-    def _cca(self, x, name_prefix):
+    @nn.compact
+    def __call__(self, x):
         b, h, w, c = x.shape
         inter = max(c // 8, 1)
-        q = nn.Conv(inter, (1, 1), dtype=x.dtype,
-                    name=f'{name_prefix}_query')(x)
-        k = nn.Conv(inter, (1, 1), dtype=x.dtype,
-                    name=f'{name_prefix}_key')(x)
-        v = nn.Conv(c, (1, 1), dtype=x.dtype,
-                    name=f'{name_prefix}_value')(x)
-        # row attention: each pixel attends over its row (w positions)
+        q = nn.Conv(inter, (1, 1), dtype=x.dtype, name='query_conv')(x)
+        k = nn.Conv(inter, (1, 1), dtype=x.dtype, name='key_conv')(x)
+        v = nn.Conv(c, (1, 1), dtype=x.dtype, name='value_conv')(x)
+        # row branch: each pixel scores its row (w keys)
         er = jnp.einsum('bhqc,bhkc->bhqk', q, k,
                         preferred_element_type=jnp.float32)
-        # column attention: over its column (h positions)
+        # column branch: its column (h keys)
         ec = jnp.einsum('bqwc,bkwc->bwqk', q, k,
                         preferred_element_type=jnp.float32)
-        # joint softmax over the criss-cross set; the self position appears
-        # in both branches — mask it out of the column branch (the ref's
-        # -inf diagonal trick in the CUDA op)
         ec_t = jnp.transpose(ec, (0, 2, 1, 3))  # (b, q=h, w, k=h)
         diag = jnp.eye(h, dtype=bool)[:, None, :]  # (q, 1, k)
         ec_t = jnp.where(diag[None], -1e9, ec_t)
-        cat = jnp.concatenate([er, ec_t], axis=-1)  # (b, h, w, w + h)
+        cat = jnp.concatenate([ec_t, er], axis=-1)  # (b, h, w, h + w)
         attn = nn.softmax(cat, axis=-1)
-        a_row = attn[..., :w]
-        a_col = attn[..., w:]
-        out = jnp.einsum('bhqk,bhkc->bhqc', a_row,
-                         v.astype(jnp.float32))
-        out = out + jnp.einsum('bqwk,bkwc->bqwc', a_col,
-                               v.astype(jnp.float32))
-        gamma = self.param(f'{name_prefix}_gamma', nn.initializers.zeros,
-                           ())
-        return x + gamma * out.astype(x.dtype)
+        a_col = attn[..., :h]
+        a_row = attn[..., h:]
+        vf = v.astype(jnp.float32)
+        out = jnp.einsum('bqwk,bkwc->bqwc', a_col, vf)
+        out = out + jnp.einsum('bhqk,bhkc->bhqc', a_row, vf)
+        gamma = self.param('gamma', nn.initializers.zeros, (1,))
+        return x + gamma[0] * out.astype(x.dtype)
+
+
+@HEADS.register_module()
+class CCHead(BaseDecodeHead):
+    """Criss-cross attention head (ref cc_head.py:13-41): FCNHead
+    skeleton with ONE CrissCrossAttention module applied ``recurrence``
+    times between convs[0] and convs[1] — the attention weights are
+    shared across recurrences — then conv_cat on cat([x, out])
+    (FCNHead's concat_input default)."""
+    recurrence: int = 2
+    kernel_size: int = 3
+    concat_input: bool = True
 
     @nn.compact
     def __call__(self, inputs, train=False):
         x = self._transform_inputs(inputs)
-        out = ConvModule(out_channels=self.channels, kernel_size=3,
-                         padding=1, norm_cfg=self.norm_cfg,
+        out = ConvModule(out_channels=self.channels,
+                         kernel_size=self.kernel_size,
+                         padding=self.kernel_size // 2,
+                         norm_cfg=self.norm_cfg,
                          act_cfg=self.act_cfg, name='convs_0')(x,
                                                                train=train)
-        for r in range(self.recurrence):
-            out = self._cca(out, f'cca_{r}')
-        out = ConvModule(out_channels=self.channels, kernel_size=3,
-                         padding=1, norm_cfg=self.norm_cfg,
-                         act_cfg=self.act_cfg, name='convs_1')(
-            jnp.concatenate([x, out], axis=-1), train=train)
+        cca = CrissCrossAttention(name='cca')
+        for _ in range(self.recurrence):
+            out = cca(out)
+        out = ConvModule(out_channels=self.channels,
+                         kernel_size=self.kernel_size,
+                         padding=self.kernel_size // 2,
+                         norm_cfg=self.norm_cfg,
+                         act_cfg=self.act_cfg, name='convs_1')(out,
+                                                               train=train)
+        if self.concat_input:
+            out = ConvModule(out_channels=self.channels,
+                             kernel_size=self.kernel_size,
+                             padding=self.kernel_size // 2,
+                             norm_cfg=self.norm_cfg, act_cfg=self.act_cfg,
+                             name='conv_cat')(
+                jnp.concatenate([x, out], axis=-1), train=train)
         return self.cls_seg(out, train=train)
 
 
@@ -343,6 +362,10 @@ class EncHead(BaseDecodeHead):
     use_se_loss: bool = True
     add_lateral: bool = False
     input_transform: str = 'multiple_select'
+    # se-loss recipe (ref _base_/models/encnet_r50-d8.py passes
+    # dict(type='CrossEntropyLoss', use_sigmoid=True, loss_weight=0.2));
+    # only the weight varies — the criterion is always multilabel BCE.
+    loss_se_decode: dict = None
 
     @nn.compact
     def __call__(self, inputs, train=False):
@@ -391,6 +414,7 @@ class EncHead(BaseDecodeHead):
             se_pred = se_pred.astype(jnp.float32)
             bce = jnp.maximum(se_pred, 0) - se_pred * present + \
                 jnp.log1p(jnp.exp(-jnp.abs(se_pred)))
-            loss['loss_se'] = 0.2 * jnp.mean(bce)
+            se_weight = (self.loss_se_decode or {}).get('loss_weight', 0.2)
+            loss['loss_se'] = se_weight * jnp.mean(bce)
             return loss
         return super().losses(seg_logit, seg_label, seg_weight)

@@ -195,10 +195,22 @@ class GCHead(_FCNAttnHead):
 
 @HEADS.register_module()
 class DNLHead(_FCNAttnHead):
-    """FCN + disentangled non-local block (ref dnl_head.py)."""
+    """FCN + disentangled non-local block (ref dnl_head.py).
+
+    ``mode`` is accepted for config parity (ref _base_/models/dnl_r50-d8.py
+    passes it); the disentangled block is defined for 'embedded_gaussian'
+    only, matching the reference's only shipped configuration.
+    """
     reduction: int = 2
     use_scale: bool = True
     temperature: float = 0.05
+    mode: str = 'embedded_gaussian'
+
+    def __post_init__(self):
+        if self.mode != 'embedded_gaussian':
+            raise ValueError(
+                f'DNLHead supports mode="embedded_gaussian", got {self.mode}')
+        super().__post_init__()
 
     def _block(self, out, train):
         return DisentangledNonLocal2d(

@@ -11,27 +11,21 @@ H + W scores, and the aggregated value is blended residually with a
 zero-initialised scalar: ``out = x + gamma * agg``.
 
 This file checks the repo's masked row+column attention reformulation
-(``models/decode_heads/da_head.py::CCHead._cca``) against an
+(``models/decode_heads/da_head.py::CrissCrossAttention``) against an
 independent per-pixel python loop implementing those semantics
 directly, with gamma forced nonzero so the attention path actually
-contributes.
+contributes. The checkpoint round-trip vs a torch twin lives in
+``test_torch_parity.py::TestCCHeadParity``.
 """
 
-import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from segdistill_tpu.models.decode_heads.da_head import CCHead
+from segdistill_tpu.models.decode_heads.da_head import CrissCrossAttention
 
-
-class _CCAProbe(CCHead):
-    """Expose a single criss-cross attention application."""
-
-    @nn.compact
-    def __call__(self, x):  # noqa: D102 - test probe
-        return self._cca(x, 'cca_0')
+_CCAProbe = CrissCrossAttention  # applied once, standalone
 
 
 def _naive_criss_cross(x, wq, bq, wk, bk, wv, bv, gamma):
@@ -67,22 +61,22 @@ def test_cca_matches_naive_oracle(hw):
     rng = np.random.RandomState(0)
     x = rng.randn(1, H, W, C).astype(np.float32)
 
-    probe = _CCAProbe(in_channels=C, channels=C, num_classes=5)
+    probe = _CCAProbe()
     variables = probe.init(jax.random.key(0), jnp.asarray(x))
     params = jax.tree.map(np.asarray, variables['params'])
     # gamma is zero-initialised (residual identity at init) — force it
     # nonzero so the attention path is actually exercised
-    params['cca_0_gamma'] = np.float32(0.7)
+    params['gamma'] = np.array([0.7], np.float32)
 
     got = probe.apply({'params': params}, jnp.asarray(x))
 
     inter = C // 8
-    wq = params['cca_0_query']['kernel'].reshape(C, inter)
-    bq = params['cca_0_query']['bias']
-    wk = params['cca_0_key']['kernel'].reshape(C, inter)
-    bk = params['cca_0_key']['bias']
-    wv = params['cca_0_value']['kernel'].reshape(C, C)
-    bv = params['cca_0_value']['bias']
+    wq = params['query_conv']['kernel'].reshape(C, inter)
+    bq = params['query_conv']['bias']
+    wk = params['key_conv']['kernel'].reshape(C, inter)
+    bk = params['key_conv']['bias']
+    wv = params['value_conv']['kernel'].reshape(C, C)
+    bv = params['value_conv']['bias']
     want = _naive_criss_cross(x[0].astype(np.float64),
                               wq.astype(np.float64), bq.astype(np.float64),
                               wk.astype(np.float64), bk.astype(np.float64),
@@ -101,21 +95,21 @@ def test_cca_self_counted_once():
     H, W, C = 4, 3, 8
     x = np.ones((1, H, W, C), np.float32)
 
-    probe = _CCAProbe(in_channels=C, channels=C, num_classes=5)
+    probe = _CCAProbe()
     variables = probe.init(jax.random.key(1), jnp.asarray(x))
     params = jax.tree.map(np.asarray, variables['params'])
-    params['cca_0_gamma'] = np.float32(1.0)
+    params['gamma'] = np.array([1.0], np.float32)
     # constant input + zeroed q/k conv -> uniform scores; value conv
     # passes the per-position index through one channel
-    for name in ('cca_0_query', 'cca_0_key'):
+    for name in ('query_conv', 'key_conv'):
         params[name]['kernel'] = np.zeros_like(params[name]['kernel'])
         params[name]['bias'] = np.zeros_like(params[name]['bias'])
-    params['cca_0_value']['kernel'] = np.zeros_like(
-        params['cca_0_value']['kernel'])
-    params['cca_0_value']['bias'] = np.zeros_like(
-        params['cca_0_value']['bias'])
+    params['value_conv']['kernel'] = np.zeros_like(
+        params['value_conv']['kernel'])
+    params['value_conv']['bias'] = np.zeros_like(
+        params['value_conv']['bias'])
     # value = const 1 on channel 0 -> agg = sum of weights = 1 exactly
-    params['cca_0_value']['bias'][0] = 1.0
+    params['value_conv']['bias'][0] = 1.0
 
     got = np.asarray(probe.apply({'params': params}, jnp.asarray(x)))
     # out = x + gamma * agg; agg channel0 == 1 (weights sum to 1),
@@ -129,10 +123,10 @@ def test_cca_self_counted_once():
     # on channel 0
     x2 = np.ones((1, H, W, C), np.float32)
     x2[0, :, :, 0] = np.arange(H, dtype=np.float32)[:, None]
-    params['cca_0_value']['bias'][0] = 0.0
-    params['cca_0_value']['kernel'] = np.zeros_like(
-        params['cca_0_value']['kernel'])
-    params['cca_0_value']['kernel'][0, 0, 0, 0] = 1.0
+    params['value_conv']['bias'][0] = 0.0
+    params['value_conv']['kernel'] = np.zeros_like(
+        params['value_conv']['kernel'])
+    params['value_conv']['kernel'][0, 0, 0, 0] = 1.0
     got2 = np.asarray(probe.apply({'params': params}, jnp.asarray(x2)))
     # uniform weights over the criss-cross set of pixel (i, j):
     # row contributes W * i, column contributes sum(rows) - i

