@@ -167,3 +167,52 @@ def test_resnet_deep_stem_and_downsample(tmp_path):
         np.asarray(p['decode_head']['psp_modules']['pool_0']['conv']
                    ['kernel']),
         sd['decode_head.psp_modules.0.1.conv.weight'].transpose(2, 3, 1, 0))
+
+
+def test_golden_fixture_roundtrip(tmp_path):
+    """Converter chain vs the COMMITTED golden fixture (VERDICT r3 #6):
+    the deterministic mmseg-layout B0 state dict goes through the
+    production converter and the flax model must reproduce the stored
+    stage activations and logits (tests/golden/mit_b0_golden.npz,
+    generated once by tests/golden_fixture.py's torch twin — this test
+    itself needs no torch forward). Guards the layouts of
+    ref tools/mit_converter.py:7 + mmcv_custom/checkpoint.py:281-350."""
+    import jax.numpy as jnp
+    import golden_fixture as gf
+    from segdistill_tpu.convert import load_pth_into_variables
+
+    golden = np.load(gf.GOLDEN_PATH)
+    sd = gf.golden_state_dict()
+    path = str(tmp_path / 'golden_b0.pth')
+    torch.save({'state_dict': {k: torch.from_numpy(v)
+                               for k, v in sd.items()}}, path)
+
+    model = build_segmentor(dict(
+        type='EncoderDecoder',
+        backbone=dict(type='mit_b0', gelu_approximate=False,
+                      drop_path_rate=0.0),
+        decode_head=dict(
+            type='SegFormerHead', in_channels=[32, 64, 160, 256],
+            in_index=[0, 1, 2, 3], feature_strides=[4, 8, 16, 32],
+            channels=128, dropout_ratio=0.0, num_classes=gf.NUM_CLASSES,
+            norm_cfg=dict(type='BN'), align_corners=False,
+            decoder_params=dict(embed_dim=gf.EMBED_DIM)),
+        test_cfg=dict(mode='whole')))
+    variables = model.init_variables(jax.random.key(0), (1, 64, 64, 3))
+    variables = load_pth_into_variables(variables, path, model,
+                                        strict=True)
+
+    x = jnp.asarray(golden['input'].transpose(0, 2, 3, 1))
+    stages = model.net.apply(variables, x, train=False,
+                             method=model.net.extract_feat)
+    for i in range(4):
+        np.testing.assert_allclose(
+            np.asarray(stages[i], np.float32).transpose(0, 3, 1, 2),
+            golden[f'stage{i}'], rtol=5e-4, atol=5e-4,
+            err_msg=f'stage{i} diverged from the committed golden fixture')
+    logits = model.net.apply(variables, x, train=False, with_aux=False)
+    logits = logits['decode'] if isinstance(logits, dict) else logits
+    np.testing.assert_allclose(
+        np.asarray(logits, np.float32).transpose(0, 3, 1, 2),
+        golden['logits'], rtol=5e-4, atol=5e-4,
+        err_msg='logits diverged from the committed golden fixture')
