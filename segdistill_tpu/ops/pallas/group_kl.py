@@ -41,7 +41,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_VMEM_BUDGET = 10 * 1024 * 1024  # leave headroom of the ~16MB/core
+_VMEM_BUDGET = 64 * 1024 * 1024  # headroom under the declared 100MB limit
 
 
 def _phase_taps(r):
@@ -196,7 +196,13 @@ def can_use_fused(shape, out_hw, group_size, align_corners=False):
     if h == 0 or w == 0 or H % h or W % w:
         return False
     g = min(group_size, c + (-c) % group_size)
-    if 2 * g * h * w * 4 > _VMEM_BUDGET:
+    # Peak per-tile VMEM is set by the BACKWARD's shift-bucket scatter
+    # (_bwd_kernel): 2 upcast input planes + up to 9 (shift_h, shift_w)
+    # fp32 bucket accumulators + ~4 live lerp temporaries + the output
+    # accumulator — model it as 16 fp32 (g, h, w) planes (the analogue of
+    # can_use_fused_ce's 14*ct term). The kernels declare a 100MB Mosaic
+    # vmem limit; _VMEM_BUDGET keeps headroom under it.
+    if 16 * g * h * w * 4 > _VMEM_BUDGET:
         return False
     try:
         return jax.default_backend() == 'tpu'
