@@ -61,6 +61,13 @@ class DistillationLoss:
                 raise KeyError(
                     f'unknown distillation loss {loss_name}; '
                     f'registered: {sorted(DISTILL_LOSSES)}')
+            if isinstance(entry['student_layer'], list):
+                # paired-layer form (attention losses): every reference
+                # criterion using it is commented out (ref losses.py:239-927,
+                # opts.py:91-98) — reject at config-build time, not runtime
+                raise NotImplementedError(
+                    'paired-layer criteria are dead code in the reference '
+                    '(losses.py:239-927); no registered loss uses them')
             criterion = DISTILL_LOSSES[loss_name](**dict(loss_config))
             self.entries.append(dict(entry, criterion=criterion))
 
@@ -70,13 +77,6 @@ class DistillationLoss:
         for i, entry in enumerate(self.entries):
             s_layer, t_layer = entry['student_layer'], entry['teacher_layer']
             criterion = entry['criterion']
-            if isinstance(s_layer, list):
-                # paired-layer form (attention losses; every reference
-                # criterion using it is commented out, opts.py:91-98 kept as
-                # dispatch contract)
-                raise NotImplementedError(
-                    'paired-layer criteria are dead code in the reference '
-                    '(losses.py:239-927); no registered loss uses them')
             x_s = _lookup(student_features, s_layer, 'student')
             x_t = _lookup(teacher_features, t_layer, 'teacher')
             x_s = convert_tap(s_layer, x_s)

@@ -180,3 +180,19 @@ def test_kld_warmup_modes():
     assert float(loss.alpha_at(50)) == pytest.approx(1.0)
     assert float(loss.alpha_at(100)) == pytest.approx(2.0)
     assert float(loss.alpha_at(500)) == pytest.approx(2.0)
+
+
+def test_paired_layer_config_rejected_at_build_time():
+    """Paired-layer criteria (list-valued student_layer) are dead code in
+    the reference (losses.py:239-927, opts.py:91-98) — the engine must
+    reject them when the config is built, not mid-train-step."""
+    from segdistill_tpu.distill import DistillationLoss
+    with pytest.raises(NotImplementedError, match='paired-layer'):
+        DistillationLoss([{
+            'student_layer': ['backbone.block1.0.attn.ATTN',
+                              'backbone.block1.0.attn.V'],
+            'teacher_layer': ['backbone.block1.0.attn.ATTN',
+                              'backbone.block1.0.attn.V'],
+            'loss_name': 'KLDLoss',
+            'loss_config': {'alpha': 1, 'tau': 1},
+        }])
