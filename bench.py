@@ -26,9 +26,11 @@ Driver-proofing (round 4, after BENCH_r03 rc=124 produced no number):
   * persistent XLA compilation cache at .jax_cache/ — a warmed cache turns
     the multi-minute first compile into seconds on subsequent runs;
   * per-phase progress lines on stderr so a timeout tail shows *where*;
-  * an internal wall-clock budget (BENCH_BUDGET_S, default 480 s): a
-    SIGALRM handler emits the best partial JSON before any external
-    timeout can kill the process silently;
+  * an internal wall-clock budget (BENCH_BUDGET_S, default 480 s): past
+    it, a SIGALRM handler emits the train number if one exists, else
+    keeps going with 60 s stderr heartbeats (a slow remote compile may
+    still finish before the driver's external timeout) until a hard cap
+    (BENCH_HARD_CAP_S, default 1650 s) emits the best partial JSON;
   * BENCH_SKIP_INFERENCE=1 skips the inference phase; the inference phase
     is also skipped automatically when the budget is nearly spent and is
     wrapped in try/except — the training number always gets printed.
@@ -65,8 +67,29 @@ def _emit(result):
     print(json.dumps(result), flush=True)
 
 
+HARD_CAP_S = float(os.environ.get('BENCH_HARD_CAP_S', '1650'))
+
+
 def _on_alarm(signum, frame):
-    _PARTIAL['error'] = 'internal budget (%ds) exceeded' % BUDGET_S
+    elapsed = time.monotonic() - _T_START
+    if _PARTIAL.get('value') is not None:
+        # the train number exists — emit it now rather than risk an
+        # external kill mid-inference losing it
+        _PARTIAL['truncated'] = ('budget (%ds) hit at %.0fs; inference '
+                                 'phase abandoned' % (BUDGET_S, elapsed))
+        _emit(_PARTIAL)
+        sys.stderr.flush()
+        os._exit(0)
+    if elapsed < HARD_CAP_S:
+        # mid-compile: can't interrupt the remote XLA compile usefully —
+        # press on; a late number beats a guaranteed null
+        print('[bench %6.1fs] soft budget (%ds) exceeded in %r; pressing '
+              'on (hard cap %ds)' % (elapsed, BUDGET_S, _PARTIAL['phase'],
+                                     HARD_CAP_S),
+              file=sys.stderr, flush=True)
+        signal.alarm(60)
+        return
+    _PARTIAL['error'] = 'hard cap (%ds) exceeded' % HARD_CAP_S
     _emit(_PARTIAL)
     sys.stderr.flush()
     os._exit(3)

@@ -17,7 +17,7 @@ Tap names reproduce the reference layer names:
 ``backbone.block{s}.{i}.attn.{Q,K,V,ATTN}`` and ``backbone.block{s}.{i}.FEA``.
 """
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -97,7 +97,9 @@ class Attention(nn.Module):
     attn_drop: float = 0.0
     proj_drop: float = 0.0
     sr_ratio: int = 1
-    fused_attention: bool = False  # forward-only Pallas kernel (teacher)
+    # False | True (forward-only Pallas kernel, frozen teachers) |
+    # 'train' (differentiable Pallas kernel with custom VJP, students)
+    fused_attention: Any = False
 
     @nn.compact
     def __call__(self, x, H, W, deterministic=True):
@@ -130,15 +132,21 @@ class Attention(nn.Module):
         self.sow('feats', 'K', k)
         self.sow('feats', 'V', v)
 
-        from ...ops.pallas import can_use_fused_attn, fused_sra_attention
+        from ...ops.pallas import (can_use_fused_attn, fused_sra_attention,
+                                   sra_attention_train)
         if (self.fused_attention and self.attn_drop == 0.0
                 and can_use_fused_attn(q.shape, k.shape[2], hd)):
             # fused q@k^T -> fp32 softmax -> @v; never materializes the
-            # (N, M) attention tensor. Forward-only: the teacher sits
-            # under stop_gradient, so no VJP is needed. The 'ATTN' tap is
-            # unavailable on this path (enable only for teachers no
-            # distillation entry hooks on attention maps).
-            out = fused_sra_attention(q, k, v, scale)
+            # (N, M) attention tensor. 'train' uses the custom-VJP kernel
+            # (scores never touch HBM in either pass); True is the
+            # forward-only kernel for frozen teachers under stop_gradient.
+            # The 'ATTN' tap is unavailable on either fused path (the
+            # SDModule gates these defaults off when a distillation entry
+            # hooks attention maps).
+            if self.fused_attention == 'train':
+                out = sra_attention_train(q, k, v, scale)
+            else:
+                out = fused_sra_attention(q, k, v, scale)
         else:
             attn = jnp.einsum('bhnd,bhmd->bhnm', q, k,
                               preferred_element_type=jnp.float32) * scale
@@ -169,7 +177,7 @@ class Block(nn.Module):
     drop_path: float = 0.0
     sr_ratio: int = 1
     gelu_approximate: bool = True
-    fused_attention: bool = False
+    fused_attention: Any = False  # False | True | 'train' (see Attention)
     dwconv_backend: str = 'auto'
 
     @nn.compact
@@ -225,7 +233,11 @@ class MixVisionTransformer(nn.Module):
     depths: Sequence[int] = (3, 4, 6, 3)
     sr_ratios: Sequence[int] = (8, 4, 2, 1)
     gelu_approximate: bool = True
-    fused_attention: bool = False  # forward-only Pallas SRA (teachers)
+    # Pallas SRA attention: False | True (forward-only, teachers) |
+    # 'train' (custom-VJP kernel, students) | a per-stage 4-sequence of
+    # those (the kernels win at some stage shapes and lose at others —
+    # docs/perf.md "flash SRA" notes)
+    fused_attention: Any = False
     with_cp: bool = False  # gradient checkpointing per block (jax.remat)
     dwconv_backend: str = 'auto'  # Mix-FFN depthwise form (see DWConv)
     dtype: jnp.dtype = jnp.float32
@@ -247,6 +259,9 @@ class MixVisionTransformer(nn.Module):
         block_cls = nn.remat(Block, static_argnums=(2, 3, 4)) \
             if self.with_cp else Block
 
+        fa = self.fused_attention
+        fa_stages = tuple(fa) if isinstance(fa, (list, tuple)) else (fa,) * 4
+
         outs = []
         cur = 0
         patch_cfg = [(7, 4), (3, 2), (3, 2), (3, 2)]
@@ -265,7 +280,7 @@ class MixVisionTransformer(nn.Module):
                           drop_path=dpr[cur + i],
                           sr_ratio=self.sr_ratios[s],
                           gelu_approximate=self.gelu_approximate,
-                          fused_attention=self.fused_attention,
+                          fused_attention=fa_stages[s],
                           dwconv_backend=self.dwconv_backend,
                           name=f'block{s + 1}_{i}')(x, H, W, det)
             x = nn.LayerNorm(epsilon=1e-6, dtype=x.dtype,
@@ -281,6 +296,8 @@ def _mit(embed_dims, depths, **kwargs):
     kwargs.pop('pretrained', None)
     kwargs.setdefault('drop_rate', 0.0)
     kwargs.setdefault('drop_path_rate', 0.1)
+    if isinstance(kwargs.get('fused_attention'), list):  # config lists
+        kwargs['fused_attention'] = tuple(kwargs['fused_attention'])
     return dict(embed_dims=tuple(embed_dims), num_heads=(1, 2, 5, 8),
                 mlp_ratios=(4, 4, 4, 4), qkv_bias=True,
                 depths=tuple(depths), sr_ratios=(8, 4, 2, 1), **kwargs)

@@ -22,7 +22,7 @@ from ..builder import SEGMENTORS
 from .base import BaseSegmentor
 
 
-def _teacher_perf_defaults(cfg_t):
+def _teacher_perf_defaults(cfg_t, teacher_layers=()):
     """Perf defaults for the frozen teacher inside the train step.
 
     A teacher MiT defaults its Mix-FFN depthwise to the 'conv' backend:
@@ -30,8 +30,16 @@ def _teacher_perf_defaults(cfg_t):
     the student's backward better than the tap-sum form (measured 201 vs
     191 imgs/s B0<-B3, docs/perf.md round 3; fp32 still taps regardless
     — see ops/dwconv.py). Standalone inference keeps 'auto' (tap).
-    Explicit config values win.
+
+    The forward-only fused SRA kernel is deliberately NOT defaulted for
+    teachers: measured on-chip it REGRESSED the B0<-B3 bench step 35.9 ->
+    38.5 ms (XLA's unfused bf16-score path overlaps the student backward
+    better than the Pallas call, which is a fusion barrier at every B3
+    stage shape; docs/perf.md round-4 notes). It stays an explicit
+    config knob (``backbone.fused_attention``) — note the fused paths
+    cannot sow the 'ATTN' tap. Explicit config values win.
     """
+    del teacher_layers  # kept for the knob's gating history (docs above)
     bb = cfg_t.get('backbone')
     if isinstance(bb, dict) and str(bb.get('type', '')).startswith('mit'):
         bb = dict(bb)
@@ -52,17 +60,18 @@ class SDModule(BaseSegmentor):
         self.s_pretrain = s_pretrain
         self.t_pretrain = t_pretrain
 
+        self.student_layers, self.teacher_layers = \
+            needed_layers(self.distillation)
+
         self.student = builder.build_segmentor(
             dict(cfg_s), train_cfg=train_cfg, test_cfg=test_cfg)
         cfg_t = dict(cfg_t)
         cfg_t['pretrained'] = None  # ref SD_structure.py:33
         self.teacher = builder.build_segmentor(
-            _teacher_perf_defaults(cfg_t), train_cfg=train_cfg,
-            test_cfg=test_cfg)
+            _teacher_perf_defaults(cfg_t, self.teacher_layers),
+            train_cfg=train_cfg, test_cfg=test_cfg)
 
         self.distillation_loss = DistillationLoss(self.distillation)
-        self.student_layers, self.teacher_layers = \
-            needed_layers(self.distillation)
         self.log_grad = bool(self.distillation
                              and 'log_grad' in self.distillation[0])
 
@@ -168,12 +177,13 @@ class SDModuleMT(BaseSegmentor):
 
         self.student = builder.build_segmentor(
             dict(cfg_s), train_cfg=train_cfg, test_cfg=test_cfg)
+        _, t_layers = needed_layers(self.distillation)
         self.teachers = []
         for c in cfg_t:
             c = dict(c)
             c['pretrained'] = None
             self.teachers.append(builder.build_segmentor(
-                _teacher_perf_defaults(c), train_cfg=train_cfg,
+                _teacher_perf_defaults(c, t_layers), train_cfg=train_cfg,
                 test_cfg=test_cfg))
 
         # Two reference dispatch modes (DistillationLossMT, opts.py:184-209):

@@ -161,11 +161,11 @@ def sra_attention_train(q, k, v, scale, interpret=False):
 
 
 def _train_fwd(q, k, v, scale, interpret):
-    # the forward program is identical to the inference kernel; large
-    # q-tiles amortize per-program overhead (the d<=64 lane underfill
-    # makes the per-tile MXU work tiny)
+    # q-tile capped at 512: t=2048 at the stage-1 shape (N=16384) sent
+    # Mosaic into a ~5-minute compile; 512 compiles in ~80 s with the
+    # same measured step time (docs/perf.md "flash SRA" notes)
     out = fused_sra_attention(q, k, v, scale, interpret=interpret,
-                              qtile=_pick_tile(q.shape[2], 2048))
+                              qtile=_pick_tile(q.shape[2], 512))
     return out, (q, k, v)
 
 
@@ -173,7 +173,7 @@ def _train_bwd(scale, interpret, residuals, g):
     q, k, v = residuals
     B, H, N, d = q.shape
     M = k.shape[2]
-    t = _pick_tile(N, 2048)
+    t = _pick_tile(N, 512)  # see _train_fwd: Mosaic compile-time cap
     q_r = q.reshape(B * H, N, d)
     k_r = k.reshape(B * H, M, d)
     v_r = v.reshape(B * H, M, d)

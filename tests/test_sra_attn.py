@@ -107,3 +107,61 @@ class TestTrainKernel:
         assert out.dtype == jnp.bfloat16
         np.testing.assert_allclose(np.asarray(out, np.float32),
                                    np.asarray(want), rtol=0.03, atol=0.03)
+
+
+class TestFusedAttentionWiring:
+    """Config plumbing of the fused-attention gates (no kernel runs on
+    CPU: can_use_fused_attn gates on the TPU backend; these check the
+    per-stage fan-out and the SDModule teacher defaults)."""
+
+    def _enc(self, bb, in_ch, **bb_extra):
+        return dict(type='EncoderDecoder',
+                    backbone=dict(type=bb, style='pytorch', **bb_extra),
+                    decode_head=dict(
+                        type='SegFormerHead', in_channels=in_ch,
+                        in_index=[0, 1, 2, 3],
+                        feature_strides=[4, 8, 16, 32], channels=64,
+                        dropout_ratio=0.1, num_classes=19,
+                        norm_cfg=dict(type='BN'), align_corners=False,
+                        decoder_params=dict(embed_dim=64)))
+
+    def test_per_stage_sequence_forwards(self):
+        from segdistill_tpu.models import build_backbone
+        bb = build_backbone(dict(type='mit_b0',
+                                 fused_attention=['train', False, False,
+                                                  True]))
+        assert bb.fused_attention == ('train', False, False, True)
+        v = bb.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
+        outs = bb.apply(v, jnp.zeros((1, 32, 32, 3)))
+        assert len(outs) == 4
+
+    def test_teacher_fused_attention_stays_off_by_default(self):
+        """Measured on-chip: fused teacher attention regressed the bench
+        step 35.9 -> 38.5 ms (docs/perf.md round-4) — the default must
+        stay off; it is an explicit opt-in knob."""
+        from segdistill_tpu.models import build_segmentor
+        cfg = dict(type='SDModule',
+                   cfg_s=self._enc('mit_b0', [32, 64, 160, 256]),
+                   cfg_t=self._enc('mit_b1', [64, 128, 320, 512]),
+                   distillation=[{'student_layer': 'decode_head.linear_pred',
+                                  'teacher_layer': 'decode_head.linear_pred',
+                                  'loss_name': 'CGDLoss',
+                                  'loss_config': {'group_size': 5}}],
+                   train_cfg=dict(), test_cfg=dict(mode='whole'))
+        m = build_segmentor(cfg)
+        assert m.teacher.backbone.fused_attention is False
+        assert m.student.backbone.fused_attention is False
+
+    def test_explicit_config_wins_over_default(self):
+        from segdistill_tpu.models import build_segmentor
+        cfg = dict(type='SDModule',
+                   cfg_s=self._enc('mit_b0', [32, 64, 160, 256]),
+                   cfg_t=self._enc('mit_b1', [64, 128, 320, 512],
+                                   fused_attention=False),
+                   distillation=[{'student_layer': 'decode_head.linear_pred',
+                                  'teacher_layer': 'decode_head.linear_pred',
+                                  'loss_name': 'CGDLoss',
+                                  'loss_config': {'group_size': 5}}],
+                   train_cfg=dict(), test_cfg=dict(mode='whole'))
+        m = build_segmentor(cfg)
+        assert m.teacher.backbone.fused_attention is False
