@@ -117,3 +117,27 @@ def test_nonload_pipeline_rejected(pseudo):
     with pytest.raises(ValueError, match='LoadAnnotations'):
         build_dataloader(ds, 2, 2, dist=False, shuffle=True,
                          loader_backend='device', aug_cfg=dict(AUG))
+
+
+def test_bench_loader_tool(pseudo, monkeypatch, capsys, tmp_path):
+    """tools/bench_loader.py end-to-end on the host backend (tiny data):
+    emits one JSON line per backend + a best-of summary."""
+    import json
+    import sys
+
+    sys.modules.pop('bench_loader', None)
+    import importlib
+    spec = importlib.util.spec_from_file_location(
+        'bench_loader', 'tools/bench_loader.py')
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    monkeypatch.setattr(sys, 'argv', [
+        'bench_loader.py', '--backends', 'host', '--size', '64x48',
+        '--num-images', '6', '--batch', '2', '--batches', '2',
+        '--workers', '1', '--root', str(tmp_path)])
+    mod.main()
+    lines = [json.loads(l) for l in
+             capsys.readouterr().out.strip().splitlines()]
+    assert lines[0]['backend'] == 'host'
+    assert lines[0]['imgs_per_s'] > 0
+    assert lines[-1]['best'] == 'host'
