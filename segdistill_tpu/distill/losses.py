@@ -87,13 +87,15 @@ class KLDLoss:
                            mode=self.resize_config['mode'],
                            align_corners=self.resize_config['align_corners'])
 
-    def _shuffle(self, x_s, x_t, step, rng):
-        """Fresh shared permutation only on steps hitting the interval
-        (ref losses.py:35-42: ``if n_iter % interval == 0``)."""
+    def _shuffle_idx(self, C, step, rng):
+        """Shared channel permutation, fresh only on steps hitting the
+        interval (ref losses.py:35-42: ``if n_iter % interval == 0``)."""
         interval = self.shuffle_config['interval']
-        C = x_s.shape[1]
         perm = jax.random.permutation(jax.random.fold_in(rng, step), C)
-        idx = jnp.where(step % interval == 0, perm, jnp.arange(C))
+        return jnp.where(step % interval == 0, perm, jnp.arange(C))
+
+    def _shuffle(self, x_s, x_t, step, rng):
+        idx = self._shuffle_idx(x_s.shape[1], step, rng)
         return x_s[:, idx], x_t[:, idx]
 
     def _transform(self, x):
@@ -118,7 +120,8 @@ class KLDLoss:
         Channel shuffle commutes with the per-channel spatial resize, so it
         is applied to the source maps."""
         from ..ops.pallas import (can_use_fused, can_use_fused_pixel,
-                                  fused_group_kl, fused_pixel_kl)
+                                  fused_group_kl, fused_group_kl_shuffled,
+                                  fused_pixel_kl)
         if not self.transform_config:
             return None
         loss_type = self.transform_config['loss_type']
@@ -133,11 +136,12 @@ class KLDLoss:
         if loss_type == 'pixel':
             if not can_use_fused_pixel(x_student.shape, out_hw):
                 return None
-            if self.shuffle_config:
-                if rng is None:
-                    rng = jax.random.key(0)
-                x_student, x_teacher = self._shuffle(x_student, x_teacher,
-                                                     step, rng)
+            # the shared channel shuffle is skipped on this path: the
+            # 'pixel' transform softmaxes over C at every pixel, and a
+            # permutation applied to BOTH maps permutes terms WITHIN each
+            # softmax distribution — the loss value is mathematically
+            # invariant (tested in test_pallas_pixel.py), so the fused
+            # path drops the gather the unfused parity path still does
             # num_dist = numel/last_dim of the (B, HW, C) pixel transform
             num_dist = x_student.shape[0] * out_hw[0] * out_hw[1]
             return alpha * fused_pixel_kl(x_student, x_teacher, out_hw,
@@ -150,8 +154,12 @@ class KLDLoss:
         if self.shuffle_config:
             if rng is None:
                 rng = jax.random.key(0)
-            x_student, x_teacher = self._shuffle(x_student, x_teacher,
-                                                 step, rng)
+            # shuffle folded into the kernel's block addressing — the
+            # unfused gather/scatter pair (paid every step though the
+            # permutation is fresh only on interval steps) disappears
+            idx = self._shuffle_idx(x_student.shape[1], step, rng)
+            return alpha * fused_group_kl_shuffled(
+                x_student, x_teacher, idx, out_hw, g, self.tau)
         return alpha * fused_group_kl(x_student, x_teacher, out_hw, g,
                                       self.tau)
 

@@ -11,6 +11,7 @@ first key that is a *substring* of the dotted parameter path wins, yielding
 import flax
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 
@@ -67,11 +68,17 @@ def build_optimizer(optimizer_cfg, params, lr_schedule=None):
     else:
         raise NotImplementedError(f'optimizer {opt_type}')
 
+    # HOST scalars (np, not jnp): these close over the optimizer update fns
+    # and become jaxpr constants of every train step. Eager jnp scalars
+    # live on the device, and MLIR lowering fetches every constant back to
+    # host — ~400 device->host round-trips per compile (minutes over a
+    # tunneled chip, and a lowering wedge was observed; see docs/perf.md
+    # round-4 "lowering stall"). np scalars embed for free.
     labels = paramwise_labels(params, custom_keys)
     lr_mults = flax.traverse_util.unflatten_dict(
-        {k: jnp.asarray(v[0]) for k, v in labels.items()})
+        {k: np.float32(v[0]) for k, v in labels.items()})
     decay_mults = flax.traverse_util.unflatten_dict(
-        {k: jnp.asarray(v[1]) for k, v in labels.items()})
+        {k: np.float32(v[1]) for k, v in labels.items()})
 
     def add_decayed(updates, state, params):
         # decoupled weight decay, scaled per-param by decay_mult

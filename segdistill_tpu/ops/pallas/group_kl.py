@@ -184,6 +184,109 @@ def _bwd_kernel(taps_h, taps_w, tau, scale_ref, xs_ref, xt_ref, stats_ref,
     dxs_ref[0] = acc.astype(dxs_ref.dtype)
 
 
+def _fwd_perm_kernel(taps_h, taps_w, tau, g, perm_ref, xs_ref, xt_ref,
+                     kl_ref, stats_ref):
+    """Per-channel forward: grid (b, k, g), innermost l walks the group's
+    channels in shuffled order (the BlockSpec index map reads ``perm`` —
+    the channel shuffle costs zero data movement). Group softmax stats are
+    carried across the l steps in the revisited ``stats`` block with
+    online-softmax rescaling; the source-block max bounds every lerped
+    phase value exactly as in ``_fwd_kernel``."""
+    del perm_ref  # consumed by the BlockSpec index maps only
+    l = pl.program_id(2)
+    s = xs_ref[0, 0].astype(jnp.float32)  # (h, w)
+    t = xt_ref[0, 0].astype(jnp.float32)
+    inv_tau = 1.0 / tau
+    cm_s = jnp.max(s)
+    cm_t = jnp.max(t)
+    first = l == 0
+    m_s0 = jnp.where(first, cm_s, stats_ref[0, 0, 0, 0])
+    m_t0 = jnp.where(first, cm_t, stats_ref[0, 0, 0, 1])
+    z_s0 = jnp.where(first, 0.0, stats_ref[0, 0, 0, 2])
+    z_t0 = jnp.where(first, 0.0, stats_ref[0, 0, 0, 3])
+    w0 = jnp.where(first, 0.0, stats_ref[0, 0, 0, 4])
+
+    # online-softmax rescale of the running stats to the new maxima.
+    # W-term algebra: each accumulated term is E_t*((rt-m_t)-(rs-m_s))/tau;
+    # raising m_t/m_s to m_t'/m_s' multiplies E_t by r_t and shifts the
+    # bracket by (d_t - d_s)*tau, so W' = r_t*(W + (d_t - d_s)*Z_t).
+    m_s = jnp.maximum(m_s0, cm_s)
+    m_t = jnp.maximum(m_t0, cm_t)
+    r_s = jnp.exp((m_s0 - m_s) * inv_tau)
+    r_t = jnp.exp((m_t0 - m_t) * inv_tau)
+    d_s = (m_s0 - m_s) * inv_tau
+    d_t = (m_t0 - m_t) * inv_tau
+    z_s = z_s0 * r_s
+    z_t = z_t0 * r_t
+    w = r_t * (w0 + (d_t - d_s) * z_t0)
+
+    for dh, fh in taps_h:
+        ts = _lerp_axis(s, dh, fh, 0)
+        tt = _lerp_axis(t, dh, fh, 0)
+        for dw, fw in taps_w:
+            rs = _lerp_axis(ts, dw, fw, 1)
+            rt = _lerp_axis(tt, dw, fw, 1)
+            es = jnp.exp((rs - m_s) * inv_tau)
+            et = jnp.exp((rt - m_t) * inv_tau)
+            z_s = z_s + jnp.sum(es)
+            z_t = z_t + jnp.sum(et)
+            w = w + jnp.sum(et * ((rt - m_t) - (rs - m_s))) * inv_tau
+
+    stats_ref[0, 0, 0, 0] = m_s
+    stats_ref[0, 0, 0, 1] = m_t
+    stats_ref[0, 0, 0, 2] = z_s
+    stats_ref[0, 0, 0, 3] = z_t
+    stats_ref[0, 0, 0, 4] = w
+
+    @pl.when(l == g - 1)
+    def _():
+        kl_ref[0, 0, 0, 0] = w / z_t - jnp.log(z_t) + jnp.log(z_s)
+
+
+def _bwd_perm_kernel(taps_h, taps_w, tau, perm_ref, scale_ref, xs_ref,
+                     xt_ref, stats_ref, dxs_ref):
+    """Per-channel backward: dL/dx_s of one (shuffled) channel from the
+    saved final group stats; the dxs BlockSpec writes the plane back to
+    its source channel (the shuffle's scatter is free addressing)."""
+    del perm_ref
+    s = xs_ref[0, 0].astype(jnp.float32)
+    t = xt_ref[0, 0].astype(jnp.float32)
+    m_s = stats_ref[0, 0, 0, 0]
+    m_t = stats_ref[0, 0, 0, 1]
+    inv_zs = 1.0 / stats_ref[0, 0, 0, 2]
+    inv_zt = 1.0 / stats_ref[0, 0, 0, 3]
+    scale = scale_ref[0, 0]  # gbar / (num_dist * tau)
+    inv_tau = 1.0 / tau
+
+    buckets = {}
+    for dh, fh in taps_h:
+        zs_h = _lerp_axis(s, dh, fh, 0)
+        zt_h = _lerp_axis(t, dh, fh, 0)
+        for dw, fw in taps_w:
+            rs = _lerp_axis(zs_h, dw, fw, 1)
+            rt = _lerp_axis(zt_h, dw, fw, 1)
+            p_s = jnp.exp((rs - m_s) * inv_tau) * inv_zs
+            p_t = jnp.exp((rt - m_t) * inv_tau) * inv_zt
+            grad = (p_s - p_t) * scale
+            for sh, wh in ((dh, 1.0 - fh), (dh + 1, fh)):
+                for sw, ww in ((dw, 1.0 - fw), (dw + 1, fw)):
+                    wgt = wh * ww
+                    if wgt == 0.0:
+                        continue
+                    v = grad if wgt == 1.0 else wgt * grad
+                    key = (sh, sw)
+                    buckets[key] = v if key not in buckets \
+                        else buckets[key] + v
+    acc = jnp.zeros_like(s)
+    for (sh, sw), v in sorted(buckets.items()):
+        if sw != 0:
+            v = _unshift_add(jnp.zeros_like(v), v, sw, 1)
+        if sh != 0:
+            v = _unshift_add(jnp.zeros_like(v), v, sh, 0)
+        acc = acc + v
+    dxs_ref[0, 0] = acc.astype(dxs_ref.dtype)
+
+
 def can_use_fused(shape, out_hw, group_size, align_corners=False):
     """Fused-kernel eligibility: TPU backend, integer upsample ratio,
     align_corners False, VMEM budget."""
@@ -308,6 +411,151 @@ def _fused_bwd(out_hw, group_size, tau, interpret, residuals, gbar):
 
 
 fused_group_kl.defvjp(_fused_fwd, _fused_bwd)
+
+
+def _pad_groups(x, group_size):
+    """Pad C to a multiple of group_size with -1e9 planes (no reshape)."""
+    b, c, h, w = x.shape
+    pad = (-c) % group_size
+    if pad:
+        x = jnp.concatenate(
+            [x, jnp.full((b, pad, h, w), -1e9, x.dtype)], axis=1)
+    return x
+
+
+def _perm_full(perm, c, c_pad):
+    """Shuffled-position -> source-channel map, pad slots appended (the
+    reference shuffles the C real channels, THEN pads: losses.py:35-42,
+    95-101 — pad channels form the tail of the last group)."""
+    perm = perm.astype(jnp.int32)
+    if c_pad > c:
+        perm = jnp.concatenate([perm,
+                                jnp.arange(c, c_pad, dtype=jnp.int32)])
+    return perm
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def fused_group_kl_shuffled(xs, xt, perm, out_hw, group_size, tau,
+                            interpret=False):
+    """``fused_group_kl`` with the reference's channel shuffle folded into
+    the kernel's block addressing (zero data movement).
+
+    The unfused pipeline gathers both (B, C, h, w) maps with a traced
+    permutation (``x[:, idx]``, ref losses.py:35-42) — XLA compiles that
+    to a full gather (fwd, both maps) + scatter-add (bwd) plus layout
+    copies, paid on EVERY step even though the permutation is fresh only
+    on interval steps. Here ``perm`` (shuffled position -> source
+    channel, int32 (C,)) rides as a scalar-prefetch operand and the
+    BlockSpec index maps read it: the kernel walks each group's channels
+    in shuffled order via DMA addressing, and the backward writes each
+    gradient plane straight back to its source channel. Group softmax
+    stats are accumulated across the per-channel grid steps with
+    online-softmax rescaling (exact; log-sum-exp shift invariance)."""
+    loss, _ = _fused_fwd_perm(xs, xt, perm, out_hw, group_size, tau,
+                              interpret)
+    return loss
+
+
+def _fused_fwd_perm(xs, xt, perm, out_hw, group_size, tau, interpret):
+    b, c, h, w = xs.shape
+    xs_p = _pad_groups(xs, group_size)
+    xt_p = _pad_groups(xt, group_size)
+    c_pad = xs_p.shape[1]
+    g = group_size
+    k = c_pad // g
+    rh, rw = out_hw[0] // h, out_hw[1] // w
+    taps_h = tuple(_phase_taps(rh))
+    taps_w = tuple(_phase_taps(rw))
+    pf = _perm_full(perm, c, c_pad)
+
+    kernel = functools.partial(_fwd_perm_kernel, taps_h, taps_w,
+                               float(tau), g)
+    chan = lambda bi, j, l, perm_ref: (bi, perm_ref[j * g + l], 0, 0)
+    kl, stats = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, k, g),
+            in_specs=[
+                pl.BlockSpec((1, 1, h, w), chan,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, h, w), chan,
+                             memory_space=pltpu.VMEM),
+            ],
+            # trailing unit/full dims: the TPU lowering requires the
+            # last two block dims be full-array (or (8,128)-divisible)
+            out_specs=[
+                pl.BlockSpec((1, 1, 1, 1),
+                             lambda bi, j, l, p: (bi, j, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, 1, 8),
+                             lambda bi, j, l, p: (bi, j, 0, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((b, k, 1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, k, 1, 8), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(pf, xs_p, xt_p)
+    num_dist = b * k
+    loss = jnp.sum(kl) / num_dist
+    return loss, (xs, xt, perm, stats)
+
+
+def _fused_bwd_perm(out_hw, group_size, tau, interpret, residuals, gbar):
+    xs, xt, perm, stats = residuals
+    b, c, h, w = xs.shape
+    xs_p = _pad_groups(xs, group_size)
+    xt_p = _pad_groups(xt, group_size)
+    c_pad = xs_p.shape[1]
+    g = group_size
+    k = c_pad // g
+    rh, rw = out_hw[0] // h, out_hw[1] // w
+    taps_h = tuple(_phase_taps(rh))
+    taps_w = tuple(_phase_taps(rw))
+    pf = _perm_full(perm, c, c_pad)
+    num_dist = b * k
+    scale = (gbar / (num_dist * tau)).astype(jnp.float32).reshape(1, 1)
+
+    kernel = functools.partial(_bwd_perm_kernel, taps_h, taps_w,
+                               float(tau))
+    chan = lambda bi, j, l, perm_ref: (bi, perm_ref[j * g + l], 0, 0)
+    dxs_p = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, k, g),
+            in_specs=[
+                pl.BlockSpec((1, 1), lambda bi, j, l, p: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, h, w), chan,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, h, w), chan,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, 1, 8),
+                             lambda bi, j, l, p: (bi, j, 0, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+            # bijection: each dxs channel plane is written exactly once,
+            # at its source position — the shuffle's scatter is free
+            out_specs=pl.BlockSpec((1, 1, h, w), chan,
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, c_pad, h, w), xs_p.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(pf, scale, xs_p, xt_p, stats)
+    dxs = dxs_p[:, :c]
+    # int cotangent mirrors fused_seg_ce's labels convention
+    return dxs.astype(xs.dtype), jnp.zeros_like(xt), jnp.zeros_like(perm)
+
+
+fused_group_kl_shuffled.defvjp(_fused_fwd_perm, _fused_bwd_perm)
 
 
 def group_kl_reference(xs, xt, out_hw, group_size, tau):

@@ -77,3 +77,87 @@ def test_identical_inputs_zero_loss_and_grad():
     g = jax.grad(lambda a: fused_group_kl(a, xs, (16, 16), 2, 2.0,
                                           interpret=True))(xs)
     np.testing.assert_allclose(np.asarray(g), 0.0, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# shuffled-perm kernel: channel shuffle folded into the block addressing
+# ---------------------------------------------------------------------------
+
+def _shuffled_ref(xs, xt, perm, out_hw, group_size, tau):
+    """Oracle: gather both maps (the unfused pipeline's x[:, idx]) then run
+    the unfused reference math."""
+    return group_kl_reference(xs[:, perm], xt[:, perm], out_hw,
+                              group_size, tau)
+
+
+@pytest.mark.parametrize('group_size,ratio,seed', [(1, 2, 0), (3, 2, 1),
+                                                   (7, 4, 2), (4, 1, 3)])
+def test_shuffled_forward_matches_gather_oracle(group_size, ratio, seed):
+    from segdistill_tpu.ops.pallas import fused_group_kl_shuffled
+    xs, xt = _data(seed=seed)
+    c = xs.shape[1]
+    perm = jnp.asarray(np.random.RandomState(seed).permutation(c),
+                       jnp.int32)
+    out_hw = (xs.shape[2] * ratio, xs.shape[3] * ratio)
+    got = float(fused_group_kl_shuffled(xs, xt, perm, out_hw, group_size,
+                                        2.0, interpret=True))
+    ref = float(_shuffled_ref(xs, xt, perm, out_hw, group_size, 2.0))
+    assert got == pytest.approx(ref, rel=1e-5, abs=1e-7)
+
+
+def test_shuffled_identity_perm_matches_unshuffled():
+    from segdistill_tpu.ops.pallas import fused_group_kl_shuffled
+    xs, xt = _data(c=6)
+    perm = jnp.arange(6, dtype=jnp.int32)
+    a = float(fused_group_kl_shuffled(xs, xt, perm, (16, 16), 3, 1.5,
+                                      interpret=True))
+    b = float(fused_group_kl(xs, xt, (16, 16), 3, 1.5, interpret=True))
+    assert a == pytest.approx(b, rel=1e-5)
+
+
+def test_shuffled_gradient_scatters_to_source_channels():
+    """grad flows back through the permutation: d/dxs[fused(perm)] must
+    equal d/dxs[oracle(gather-then-kl)] — including the scatter transpose
+    of the gather."""
+    from segdistill_tpu.ops.pallas import fused_group_kl_shuffled
+    xs, xt = _data(b=1, c=6, h=6, w=6, seed=11)
+    perm = jnp.asarray([4, 0, 5, 2, 1, 3], jnp.int32)
+
+    g_fused = jax.grad(lambda a: fused_group_kl_shuffled(
+        a, xt, perm, (12, 12), 3, 2.0, interpret=True))(xs)
+    g_ref = jax.grad(lambda a: _shuffled_ref(
+        a, xt, perm, (12, 12), 3, 2.0))(xs)
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-7)
+
+
+def test_shuffled_with_group_padding():
+    """c=7, g=3: perm covers the 7 real channels; the -1e9 pad plane joins
+    the last group after the shuffle (reference shuffles THEN pads)."""
+    from segdistill_tpu.ops.pallas import fused_group_kl_shuffled
+    xs, xt = _data(c=7, seed=5)
+    perm = jnp.asarray(np.random.RandomState(5).permutation(7), jnp.int32)
+    got = float(fused_group_kl_shuffled(xs, xt, perm, (16, 16), 3, 1.0,
+                                        interpret=True))
+    ref = float(_shuffled_ref(xs, xt, perm, (16, 16), 3, 1.0))
+    assert np.isfinite(got)
+    assert got == pytest.approx(ref, rel=1e-5)
+    g = jax.grad(lambda a: fused_group_kl_shuffled(
+        a, xt, perm, (16, 16), 3, 1.0, interpret=True))(xs)
+    g_ref = jax.grad(lambda a: _shuffled_ref(
+        a, xt, perm, (16, 16), 3, 1.0))(xs)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-7)
+
+
+def test_shuffled_bf16_inputs():
+    from segdistill_tpu.ops.pallas import fused_group_kl_shuffled
+    xs, xt = _data(c=6, seed=9)
+    perm = jnp.asarray([5, 3, 1, 0, 2, 4], jnp.int32)
+    got = float(fused_group_kl_shuffled(
+        xs.astype(jnp.bfloat16), xt.astype(jnp.bfloat16), perm, (16, 16),
+        3, 2.0, interpret=True))
+    ref = float(_shuffled_ref(xs.astype(jnp.bfloat16).astype(jnp.float32),
+                              xt.astype(jnp.bfloat16).astype(jnp.float32),
+                              perm, (16, 16), 3, 2.0))
+    assert got == pytest.approx(ref, rel=1e-4)

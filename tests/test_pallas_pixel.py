@@ -63,3 +63,21 @@ def test_pdloss_routes_and_matches_on_cpu_fallback():
     got = float(PDLoss()(xs, xt, gt, step=1))
     ref = float(_ref(xs, xt, (16, 16), 1.0)) / (2 * 16 * 16)
     assert got == pytest.approx(ref, rel=1e-5)
+
+
+def test_shared_channel_shuffle_is_invariant_for_pixel_loss():
+    """The fused pixel path skips the shared channel shuffle
+    (losses.py _try_fused): shuffling both maps with the same permutation
+    permutes terms WITHIN each per-pixel softmax distribution, so the
+    loss and the (inverse-permuted) gradient are mathematically
+    unchanged. Pin the invariance that justifies the skip."""
+    xs, xt = _data(b=1, c=6, h=6, seed=4)
+    perm = np.random.RandomState(4).permutation(6)
+    base = float(_ref(xs, xt, (12, 12), 2.0))
+    shuf = float(_ref(xs[:, perm], xt[:, perm], (12, 12), 2.0))
+    assert shuf == pytest.approx(base, rel=1e-6)
+    g_base = jax.grad(lambda a: _ref(a, xt, (12, 12), 2.0))(xs)
+    g_shuf = jax.grad(lambda a: _ref(a[:, perm], xt[:, perm],
+                                     (12, 12), 2.0))(xs)
+    np.testing.assert_allclose(np.asarray(g_shuf), np.asarray(g_base),
+                               rtol=1e-5, atol=1e-7)

@@ -41,10 +41,23 @@ def parse_args():
 def main():
     args = parse_args()
     if args.bench:
+        import time
+
+        t0 = time.monotonic()
+
+        def note(msg):
+            # stderr progress (mirrors bench.py's driver-proofing): an
+            # external timeout's tail shows *where* the run stalled
+            print('[profile %6.1fs] %s' % (time.monotonic() - t0, msg),
+                  file=sys.stderr, flush=True)
+
         import bench
+        note('building model')
         _, step_fn, state, tv, batch, _ = bench.build()
+        note('warmup step (compile if cache-cold)')
         state, log_vars = step_fn(state, tv, batch['img'], batch['gt'])
         jax.block_until_ready(log_vars['loss'])
+        note('tracing %d steps' % args.steps)
         with jax.profiler.trace(args.trace_dir):
             for _ in range(args.steps):
                 state, log_vars = step_fn(state, tv, batch['img'],
