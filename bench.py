@@ -130,9 +130,18 @@ def build():
                 norm_cfg=norm_cfg, align_corners=False,
                 decoder_params=dict(embed_dim=embed)))
 
+    cfg_s = enc('mit_b0', [32, 64, 160, 256], 256)
+    # BENCH_STUDENT_FA: per-stage differentiable flash SRA for the
+    # student (stages 1/4 measured wins standalone, docs/perf.md) —
+    # ladder-run knob while deciding the SDModule default
+    fa = os.environ.get('BENCH_STUDENT_FA', '')
+    if fa:
+        cfg_s['backbone']['fused_attention'] = \
+            ('train', False, False, 'train') if fa == 'stage14' \
+            else ('train',) * 4
     model_cfg = dict(
         type='SDModule',
-        cfg_s=enc('mit_b0', [32, 64, 160, 256], 256),
+        cfg_s=cfg_s,
         cfg_t=enc('mit_b3', [64, 128, 320, 512], 768),
         distillation=[{
             'student_layer': 'decode_head.linear_pred',
