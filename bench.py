@@ -31,9 +31,11 @@ Driver-proofing (round 4, after BENCH_r03 rc=124 produced no number):
     keeps going with 60 s stderr heartbeats (a slow remote compile may
     still finish before the driver's external timeout) until a hard cap
     (BENCH_HARD_CAP_S, default 1650 s) emits the best partial JSON;
-  * BENCH_SKIP_INFERENCE=1 skips the inference phase; the inference phase
-    is also skipped automatically when the budget is nearly spent and is
-    wrapped in try/except — the training number always gets printed.
+  * BENCH_SKIP_INFERENCE=1 skips every post-train phase; on a cold
+    compile the per-phase timing-step counts degrade (20 -> 5) rather
+    than phases being skipped, so every round's artifact carries train +
+    inference + slide + eval-loop numbers; each phase is wrapped in
+    try/except — the training number always gets printed.
 """
 
 import json
@@ -99,6 +101,14 @@ BATCH = int(os.environ.get('BENCH_BATCH', '8'))
 CROP = 512
 NUM_CLASSES = 150
 
+# BENCH_STUDENT_FA: per-stage differentiable flash SRA for the student.
+# Validated strictly — a typo must fail, not silently benchmark the
+# wrong configuration (advisor r4).
+STUDENT_FA = os.environ.get('BENCH_STUDENT_FA', '')
+if STUDENT_FA not in ('', 'off', 'stage14', 'all'):
+    sys.exit(f'BENCH_STUDENT_FA={STUDENT_FA!r} invalid: '
+             f"use '' | 'off' | 'stage14' | 'all'")
+
 # analytic step cost per image (fp ops, fwd at 512^2):
 #   student B0 fwd+bwd ~ 3 x 8.4 GF (Tab5: B0 8.4 GF)
 #   teacher B3 fwd     ~ 79 GF (SegFormer paper, B3 @512^2)
@@ -131,14 +141,14 @@ def build():
                 decoder_params=dict(embed_dim=embed)))
 
     cfg_s = enc('mit_b0', [32, 64, 160, 256], 256)
-    # BENCH_STUDENT_FA: per-stage differentiable flash SRA for the
-    # student (stages 1/4 measured wins standalone, docs/perf.md) —
-    # ladder-run knob while deciding the SDModule default
-    fa = os.environ.get('BENCH_STUDENT_FA', '')
-    if fa:
+    # per-stage differentiable flash SRA for the student (stages 1/4
+    # measured wins standalone, docs/perf.md) — ladder-run knob while
+    # deciding the SDModule default
+    if STUDENT_FA == 'stage14':
         cfg_s['backbone']['fused_attention'] = \
-            ('train', False, False, 'train') if fa == 'stage14' \
-            else ('train',) * 4
+            ('train', False, False, 'train')
+    elif STUDENT_FA == 'all':
+        cfg_s['backbone']['fused_attention'] = ('train',) * 4
     model_cfg = dict(
         type='SDModule',
         cfg_s=cfg_s,
@@ -183,6 +193,16 @@ def build():
     return model, step_fn, state, teacher_vars, device_batch, mesh
 
 
+def _budget_left():
+    return BUDGET_S - (time.monotonic() - _T_START)
+
+
+def _phase_iters(full, reduced, floor_s=75):
+    """Degrade timing-step counts, not phases (VERDICT r4 #3): a cold
+    compile eats the budget, but every phase still produces a number."""
+    return full if _budget_left() > floor_s else reduced
+
+
 def bench_train(step_fn, state, teacher_vars, batch):
     import jax
     _progress('train: compiling + warmup (3 steps)')
@@ -190,9 +210,9 @@ def bench_train(step_fn, state, teacher_vars, batch):
         state, log_vars = step_fn(state, teacher_vars, batch['img'],
                                   batch['gt'])
     float(jax.device_get(log_vars['loss']))  # hard fence (see docstring)
-    _progress('train: timing 20 steps')
+    iters = _phase_iters(20, 5)
+    _progress('train: timing %d steps' % iters)
 
-    iters = 20
     t0 = time.perf_counter()
     for _ in range(iters):
         state, log_vars = step_fn(state, teacher_vars, batch['img'],
@@ -230,13 +250,93 @@ def bench_inference(model, state, mesh):
 
     float(fn(student_vars, img))  # compile + warmup fence
 
-    iters = 20
+    iters = _phase_iters(20, 5)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(student_vars, img)
     float(out)  # hard fence
     dt = time.perf_counter() - t0
     return iters * CHAIN / dt
+
+
+def _student_vars(state, mesh):
+    import jax
+    from segdistill_tpu.parallel import replicate
+    sv = {'params': jax.device_get(state.params),
+          **jax.device_get(state.model_state)}
+    return replicate(sv, mesh)
+
+
+def bench_slide(state, mesh):
+    """Cityscapes-protocol slide inference (VERDICT r4 #5): 1024x2048
+    input, 512^2 windows, stride 384 (15 windows), batch 1 — the
+    reference's big-input answer (ref encoder_decoder.py:169-212), timed
+    with the tools/benchmark.py loop shape."""
+    import jax
+    import jax.numpy as jnp
+    from segdistill_tpu.models import build_segmentor
+
+    student = build_segmentor(dict(
+        type='EncoderDecoder',
+        backbone=dict(type='mit_b0', style='pytorch', dtype='bfloat16'),
+        decode_head=dict(
+            type='SegFormerHead', in_channels=[32, 64, 160, 256],
+            in_index=[0, 1, 2, 3], feature_strides=[4, 8, 16, 32],
+            channels=128, dropout_ratio=0.1, num_classes=NUM_CLASSES,
+            norm_cfg=dict(type='SyncBN', requires_grad=True),
+            align_corners=False, decoder_params=dict(embed_dim=256)),
+        train_cfg=dict(),
+        test_cfg=dict(mode='slide', crop_size=(512, 512),
+                      stride=(384, 384))))
+    sv = _student_vars(state, mesh)
+    img = jnp.asarray(np.random.RandomState(2).randn(
+        1, 1024, 2048, 3).astype(np.float32))
+
+    @jax.jit
+    def fn(v, x):
+        return student.simple_test(v, x)[0, 0, 0].astype(jnp.float32)
+
+    float(fn(sv, img))  # compile + warmup fence
+    iters = _phase_iters(10, 3)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(sv, img)
+    float(out)  # hard fence
+    return iters / (time.perf_counter() - t0)
+
+
+def bench_eval_loop(model, state, mesh):
+    """Eval-loop throughput (VERDICT r4 weak #7): the production
+    fast-eval path — batched whole-inference + argmax + device-side
+    (intersect, union, pred, label) histograms vs labels; the host
+    fetches 4xC ints per batch, never the maps (apis/test.py:318-332)."""
+    import jax
+    import jax.numpy as jnp
+
+    sv = _student_vars(state, mesh)
+    rng = np.random.RandomState(3)
+    img = jnp.asarray(rng.randn(BATCH, CROP, CROP, 3).astype(np.float32))
+    gt = jnp.asarray(rng.randint(0, NUM_CLASSES, (BATCH, CROP, CROP),
+                                 dtype=np.int64).astype(np.int32))
+
+    @jax.jit
+    def fn(v, x, y):
+        pred = model.student.simple_test(v, x, rescale=False)
+        inter = jnp.bincount(
+            jnp.where(pred == y, pred, NUM_CLASSES).ravel(),
+            length=NUM_CLASSES + 1)[:NUM_CLASSES]
+        area_p = jnp.bincount(pred.ravel(), length=NUM_CLASSES)
+        area_l = jnp.bincount(y.ravel(), length=NUM_CLASSES)
+        return jnp.stack([inter, area_p + area_l - inter, area_p, area_l])
+
+    np.asarray(fn(sv, img, gt))  # compile + warmup fence
+    iters = _phase_iters(12, 4)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        hist = np.asarray(fn(sv, img, gt))  # per-batch host fetch (4xC)
+    dt = time.perf_counter() - t0
+    assert hist.shape == (4, NUM_CLASSES)
+    return BATCH * iters / dt
 
 
 def main():
@@ -258,24 +358,35 @@ def main():
         'vs_baseline': round(per_chip / REFERENCE_IMGS_PER_SEC_PER_CHIP, 3),
         'step_ms': round(step_s * 1000, 2),
         'mfu': round(per_chip * FLOPS_PER_IMG / TPU_V5E_PEAK, 4),
+        'mfu_ceiling_bw_bound': 0.19,  # measured roofline, docs/perf.md
         'baseline_derivation': 'BASELINE.md#throughput (8.0 imgs/s/GPU '
                                'favourable-to-reference estimate)',
+        'student_fused_attention': STUDENT_FA or 'off',
     }
     _PARTIAL.update(result)
     _progress('train done: %.1f imgs/s/chip' % per_chip)
 
-    elapsed = time.monotonic() - _T_START
-    skip_inf = os.environ.get('BENCH_SKIP_INFERENCE') == '1'
-    if not skip_inf and elapsed < BUDGET_S - 90:
-        try:
-            _progress('inference: compiling + timing')
-            result['inference_fps_b0_512'] = round(
-                bench_inference(model, state, mesh), 2)
-        except Exception as e:  # noqa: BLE001 — never lose the train number
-            result['inference_error'] = '%s: %s' % (type(e).__name__, e)
+    # remaining phases: each wrapped so no failure loses earlier numbers;
+    # step counts (not phases) degrade when the budget ran down
+    # (VERDICT r4 #3). BENCH_SKIP_INFERENCE=1 skips them all by env.
+    if os.environ.get('BENCH_SKIP_INFERENCE') == '1':
+        result['inference_skipped'] = 'env'
     else:
-        result['inference_skipped'] = ('env' if skip_inf else
-                                       'budget (%.0fs elapsed)' % elapsed)
+        phases = [
+            ('inference_fps_b0_512',
+             lambda: bench_inference(model, state, mesh)),
+            ('slide_fps_b0_1024x2048_512win',
+             lambda: bench_slide(state, mesh)),
+            ('eval_imgs_per_sec_histogram_path',
+             lambda: bench_eval_loop(model, state, mesh)),
+        ]
+        for key, fn in phases:
+            try:
+                _progress('%s: compiling + timing' % key)
+                result[key] = round(fn(), 2)
+                _PARTIAL.update(result)
+            except Exception as e:  # noqa: BLE001 — keep earlier numbers
+                result[key + '_error'] = '%s: %s' % (type(e).__name__, e)
 
     signal.alarm(0)
     _emit(result)

@@ -8,7 +8,8 @@ import numpy as np
 
 from ..datasets import build_dataloader, build_dataset
 from ..engine import (IterBasedRunner, build_lr_schedule, build_optimizer,
-                      build_train_step, create_train_state, resume_latest)
+                      build_train_step, create_train_state, load_weights,
+                      resume_latest)
 from ..core.evaluation import EvalHook
 from ..parallel import create_mesh, replicate
 from ..utils import get_root_logger
@@ -84,11 +85,22 @@ def train_segmentor(model, dataset, cfg, distributed=True, validate=False,
 
     work_dir = cfg.get('work_dir')
     if cfg.get('resume_from'):
-        state, resumed = resume_latest(cfg['resume_from'], state)
-        logger.info(f'resume: {"ok" if resumed else "nothing to resume"} '
+        # explicit resume is strict: a missing/corrupt checkpoint raises
+        # instead of silently restarting a 160k-iter run at iter 0
+        # (the reference at least prints, apis/train.py:129-133)
+        state, _ = resume_latest(cfg['resume_from'], state, strict=True)
+        logger.info(f'resumed from {cfg["resume_from"]} '
                     f'at iter {int(state.step)}')
     elif work_dir and cfg.get('auto_resume', False):
         state, resumed = resume_latest(work_dir, state)
+        if resumed:
+            logger.info(f'auto-resumed at iter {int(state.step)}')
+    elif cfg.get('load_from'):
+        # weights-only warm start: params + BN stats, iteration counter
+        # and optimizer state stay fresh (ref apis/train.py:134-135)
+        state = load_weights(cfg['load_from'], state)
+        logger.info(f'loaded weights from {cfg["load_from"]} '
+                    f'(warm start, iter 0)')
 
     train_step = build_train_step(model, tx, lr_schedule)
 
@@ -107,6 +119,19 @@ def train_segmentor(model, dataset, cfg, distributed=True, validate=False,
         eval_hook = EvalHook(eval_fn,
                              interval=cfg.evaluation.get('interval', 2000))
 
+    # checkpoint meta: version + full config + CLASSES/PALETTE
+    # (ref tools/train.py:145-153; read back by tools/test.py:131-135)
+    from ..version import __version__
+
+    def _plain(x):
+        return np.asarray(x).tolist() if x is not None else None
+
+    ckpt_meta = dict(
+        segdistill_tpu_version=__version__,
+        config=cfg.pretty_text,
+        CLASSES=list(getattr(datasets[0], 'CLASSES', None) or []) or None,
+        PALETTE=_plain(getattr(datasets[0], 'PALETTE', None)))
+
     runner = IterBasedRunner(
         model=model, train_step=train_step, state=state,
         teacher_vars=teacher_vars, mesh=mesh, max_iters=max_iters,
@@ -118,6 +143,7 @@ def train_segmentor(model, dataset, cfg, distributed=True, validate=False,
         max_keep_ckpts=cfg.get('checkpoint_config', {}).get(
             'max_keep_ckpts', 1),
         eval_hook=eval_hook,
+        meta=ckpt_meta,
         tensorboard=any(
             h.get('type') == 'TensorboardLoggerHook'
             for h in cfg.get('log_config', {}).get('hooks', [])))

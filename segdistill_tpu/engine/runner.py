@@ -97,7 +97,7 @@ class IterBasedRunner:
     def __init__(self, model, train_step, state, teacher_vars, mesh,
                  max_iters, work_dir=None, log_interval=50, logger=None,
                  checkpoint_interval=4000, max_keep_ckpts=1,
-                 eval_hook=None, timers=True, tensorboard=False):
+                 eval_hook=None, timers=True, tensorboard=False, meta=None):
         self.model = model
         self.train_step = train_step
         self.state = state
@@ -111,6 +111,9 @@ class IterBasedRunner:
         self.max_keep_ckpts = max_keep_ckpts
         self.eval_hook = eval_hook
         self.timers = timers
+        # checkpoint meta (version/config/CLASSES/PALETTE,
+        # ref tools/train.py:145-153)
+        self.meta = meta
         # TensorboardLoggerHook analogue (the reference ships it
         # commented out in _base_/default_runtime.py); rank 0 only
         self.tb_writer = None
@@ -178,7 +181,8 @@ class IterBasedRunner:
 
             if self.work_dir and step % self.checkpoint_interval == 0:
                 save_checkpoint(self.work_dir, self.state,
-                                max_keep=self.max_keep_ckpts)
+                                max_keep=self.max_keep_ckpts,
+                                meta=self.meta)
                 self.logger.info(f'Saved checkpoint at iter {step}')
 
             if self.eval_hook is not None:
@@ -188,7 +192,7 @@ class IterBasedRunner:
 
         if self.work_dir:
             save_checkpoint(self.work_dir, self.state,
-                            max_keep=self.max_keep_ckpts)
+                            max_keep=self.max_keep_ckpts, meta=self.meta)
         if self.tb_writer is not None:
             self.tb_writer.close()
         return self.state

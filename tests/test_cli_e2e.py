@@ -148,19 +148,55 @@ def test_cli_train_resume_test(tmp_path):
     assert 'Saved checkpoint at iter 8' in out
     assert osp.isdir(osp.join(work, 'checkpoints'))
 
+    # checkpoint meta stamped next to the orbax step dirs
+    # (ref tools/train.py:145-153)
+    import json
+    meta = json.load(open(osp.join(work, 'checkpoints', 'meta.json')))
+    assert meta['CLASSES'] == ['a', 'b', 'c', 'd', 'e']
+    assert len(meta['PALETTE']) == 5
+    assert 'SDModule' in meta['config']
+    assert meta['iter'] == 8
+
     # ---- phase 2: resume continues the step counter (and therefore the
     # step-keyed loss schedules: the ref model.cnt semantics) ----
     out2 = _run_cli('train.py', cfg_path, '--work-dir', work,
                     '--resume-from', work, '--seed', '42',
                     '--options', 'runner.max_iters=12')
-    assert 'resume: ok' in out2
+    assert 'resumed from' in out2
     assert 'iter 8 -> 12' in out2, out2[-2000:]
     assert 'Saved checkpoint at iter 12' in out2
 
-    # ---- phase 3: test.py --eval mIoU prints a per-class table ----
+    # ---- phase 2b: --load-from = weights-only warm start (iter resets,
+    # ref apis/train.py:134-135) — accepts the single orbax step dir too
+    work2 = str(tmp_path / 'work_warm')
+    step_dir = osp.join(work, 'checkpoints', '12')
+    assert osp.isdir(step_dir)
+    out2b = _run_cli('train.py', cfg_path, '--work-dir', work2,
+                     '--seed', '42', '--load-from', step_dir,
+                     '--options', 'runner.max_iters=2',
+                     'evaluation.interval=99',
+                     'checkpoint_config.interval=2')
+    assert 'warm start, iter 0' in out2b
+    assert 'iter 0 -> 2' in out2b, out2b[-2000:]
+
+    # ---- phase 2c: explicit --resume-from a missing checkpoint fails
+    # LOUDLY (no silent restart-at-0 of a long run) ----
+    env = dict(os.environ, JAX_PLATFORMS='cpu', PYTHONPATH=REPO)
+    env.pop('XLA_FLAGS', None)
+    proc = subprocess.run(
+        [sys.executable, osp.join(REPO, 'tools', 'train.py'), cfg_path,
+         '--work-dir', str(tmp_path / 'work_bad'),
+         '--resume-from', str(tmp_path / 'nonexistent')],
+        capture_output=True, text=True, timeout=1500, env=env)
+    assert proc.returncode != 0
+    assert 'no checkpoint found' in proc.stderr
+
+    # ---- phase 3: test.py --eval mIoU prints a per-class table and reads
+    # CLASSES/PALETTE back from the checkpoint meta (ref test.py:131-135)
     out3 = _run_cli('test.py', cfg_path, work, '--eval', 'mIoU')
     assert 'per class results' in out3
     assert 'mIoU' in out3
+    assert 'read from checkpoint meta' in out3
     # all five classes present in the table
     for cls in ('a', 'b', 'c', 'd', 'e'):
         assert any(line.strip().startswith(cls)

@@ -60,6 +60,24 @@ def main():
                                       input_shape=(1, 64, 64, 3))
     dataset = build_dataset(cfg.data['test'], dict(test_mode=True))
 
+    # CLASSES/PALETTE from the checkpoint meta, falling back to the
+    # dataset (ref tools/test.py:131-135)
+    meta = None
+    if args.checkpoint and osp.isdir(args.checkpoint):
+        from segdistill_tpu.engine import load_meta
+        meta = load_meta(args.checkpoint)
+    if meta and meta.get('CLASSES'):
+        model.CLASSES = meta['CLASSES']
+        model.PALETTE = meta.get('PALETTE')
+        logger.info(f'CLASSES/PALETTE read from checkpoint meta '
+                    f'({len(model.CLASSES)} classes)')
+    else:
+        if args.checkpoint and osp.isdir(args.checkpoint):
+            logger.warning('checkpoint has no meta; using the config-built '
+                           'dataset CLASSES/PALETTE')
+        model.CLASSES = dataset.CLASSES
+        model.PALETTE = dataset.PALETTE
+
     if args.multi_host:
         # every host evaluates its shard; mIoU reduces via histogram psum
         metrics = fast_evaluate(model, variables, dataset,

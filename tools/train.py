@@ -33,11 +33,22 @@ def parse_args():
     parser = argparse.ArgumentParser(description='Train a segmentor')
     parser.add_argument('config', help='train config file path')
     parser.add_argument('--work-dir', help='the dir to save logs and models')
-    parser.add_argument('--load-from', help='checkpoint to load from')
-    parser.add_argument('--resume-from', help='checkpoint dir to resume')
+    parser.add_argument('--load-from',
+                        help='orbax checkpoint (work dir / checkpoints dir '
+                             '/ step dir) for a weights-only warm start: '
+                             'iteration counter and optimizer state stay '
+                             'fresh (ref apis/train.py:134-135)')
+    parser.add_argument('--resume-from',
+                        help='checkpoint to resume (work dir / checkpoints '
+                             'dir / step dir); full state incl. step and '
+                             'optimizer. Fails loudly if not restorable')
     parser.add_argument('--no-validate', action='store_true')
     parser.add_argument('--seed', type=int, default=None)
-    parser.add_argument('--deterministic', action='store_true')
+    parser.add_argument('--deterministic', action='store_true',
+                        help='accepted for reference CLI parity; a no-op '
+                             'here — JAX training is deterministic by '
+                             'default (explicit PRNG keys, per-sample '
+                             'loader RNG streams)')
     parser.add_argument('--options', nargs='+', action=DictAction,
                         help='custom options: key=value')
     parser.add_argument('--multi-host', action='store_true',
@@ -61,6 +72,8 @@ def main():
                                 osp.splitext(osp.basename(args.config))[0])
     if args.resume_from is not None:
         cfg.resume_from = args.resume_from
+    if args.load_from is not None:
+        cfg.load_from = args.load_from
     if args.seed is not None:
         cfg.seed = args.seed
 
