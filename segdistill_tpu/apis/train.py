@@ -23,29 +23,79 @@ def set_random_seed(seed, deterministic=True):
     return jax.random.key(seed)
 
 
+def _merge_loaded_vars(template, loaded, strict, path):
+    """Copy matching-(path, shape) leaves of ``loaded`` into ``template``
+    (the lenient strict=False load semantics of ref SD_structure.py:36)."""
+    import jax.numpy as jnp
+
+    def _flatten(tree, prefix=()):
+        out = {}
+        for k, v in dict(tree).items():
+            if isinstance(v, dict) or hasattr(v, 'items'):
+                out.update(_flatten(v, prefix + (k,)))
+            else:
+                out[prefix + (k,)] = v
+        return out
+
+    flat_loaded = _flatten(loaded)
+    missing = []
+
+    def sub(key_path, leaf):
+        key = tuple(getattr(p, 'key', getattr(p, 'idx', p))
+                    for p in key_path)
+        got = flat_loaded.pop(key, None)
+        if got is not None and tuple(got.shape) == tuple(leaf.shape):
+            return jnp.asarray(got, leaf.dtype)
+        missing.append('.'.join(map(str, key)))
+        return leaf
+
+    out = jax.tree_util.tree_map_with_path(sub, template)
+    unexpected = ['.'.join(map(str, k)) for k in flat_loaded]
+    if strict and (missing or unexpected):
+        raise RuntimeError(
+            f'strict load from {path} failed: missing={missing[:20]} '
+            f'unexpected={unexpected[:20]}')
+    return out
+
+
+def _load_pretrain(variables, path, model, strict, backbone_only=False):
+    """``t_pretrain``/``s_pretrain`` loader: a torch ``.pth`` (the
+    reference contract, SD_structure.py:29-37) or an orbax checkpoint
+    dir produced by tools/train.py — so a teacher can be distilled
+    straight from a local training run without a round trip through
+    torch."""
+    import os.path as osp
+    if osp.isdir(path):
+        from .inference import _load_orbax_student
+        loaded = _load_orbax_student(path, variables)
+        return _merge_loaded_vars(variables, loaded, strict, path)
+    from ..convert import load_pth_into_variables
+    return load_pth_into_variables(variables, path, model, strict=strict,
+                                   backbone_only=backbone_only)
+
+
 def init_segmentor_state(model, cfg, rng, input_shape=(1, 512, 512, 3)):
     """Init model variables + load any pretrained/teacher weights.
     -> (student_variables, teacher_variables_or_empty)."""
     variables = model.init_variables(rng, input_shape)
-    from ..convert import load_pth_into_variables
 
     if 'teacher' in variables:  # SDModule
         student_vars, teacher_vars = variables['student'], \
             variables['teacher']
         if getattr(model, 't_pretrain', None):
-            teacher_vars = load_pth_into_variables(
+            teacher_vars = _load_pretrain(
                 teacher_vars, model.t_pretrain, model.teacher,
                 strict=False)  # ref strict=False (SD_structure.py:36)
         if getattr(model, 's_pretrain', None):
-            student_vars = load_pth_into_variables(
+            student_vars = _load_pretrain(
                 student_vars, model.s_pretrain, model.student, strict=True)
         elif getattr(model.student, 'pretrained', None):
-            student_vars = load_pth_into_variables(
+            student_vars = _load_pretrain(
                 student_vars, model.student.pretrained, model.student,
                 strict=False, backbone_only=True)
         return student_vars, teacher_vars
     if getattr(model, 'pretrained', None):
-        variables = load_pth_into_variables(
+        variables = _load_pretrain(
             variables, model.pretrained, model, strict=False,
             backbone_only=True)
     return variables, {}

@@ -97,8 +97,12 @@ class DistillationLoss:
             loss = criterion(x_s, convert_tap(t_layer, x_t),
                              gt_semantic_seg, step, rng=rng)
             loss_cfg = entry.get('loss_config') or {}
-            loss_info = loss_cfg.get('transform_config', 'other') \
-                if isinstance(loss_cfg, dict) else 'other'
+            # SDModuleMT's aligned path overrides the info suffix with the
+            # entry index (ref opts.py:203-208: f'..._{i}')
+            loss_info = entry.get('loss_info')
+            if loss_info is None:
+                loss_info = loss_cfg.get('transform_config', 'other') \
+                    if isinstance(loss_cfg, dict) else 'other'
             losses[f'loss_{s_layer}<->{t_layer}_{loss_info}'] = loss
         return losses
 

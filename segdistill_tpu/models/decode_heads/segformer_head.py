@@ -69,12 +69,41 @@ class _ComposedFuse(nn.Module):
         E_total = self.features
         kernel = _Kernel(E_total, len(parts) * E_total, name='conv')()
         out_hw = parts[-1].shape[1:3]
+        norm = NormLayer(self.norm_cfg, name='bn')
+
+        # Eval-mode BN fold (frozen teacher / inference): BN with running
+        # stats is a per-channel affine y = x*s + t; bilinear upsample is
+        # linear per channel and preserves constants (align_corners=False
+        # taps are convex), so the affine commutes with resize-sum and the
+        # scale folds into the composed per-stage GEMM weights — the
+        # separate BN pass over the (B, H/4, W/4, E) map (a full HBM
+        # round trip, ~0.6 ms/step on the B3 teacher head) disappears;
+        # only + t and ReLU remain, which XLA fuses into the output
+        # reshape. (s, t) are extracted by probing the norm child on a
+        # (1,1,1,E) zeros/ones pair — the child's param/stat tree is
+        # byte-identical to the unfolded path's, and eval-mode BN never
+        # mutates stats. Gated to the fused-kernel regime so small/CPU
+        # parity paths keep the exact unfolded numerics.
+        up_shapes = [p.shape[:3] + (E_total,) for p in parts
+                     if p.shape[1:3] != out_hw]
+        use_fused = can_use_fused_resize_sum(up_shapes, out_hw,
+                                             dtype=parts[0].dtype)
+        fold = (not train) and use_fused \
+            and (self.norm_cfg or {}).get('type') in ('BN', 'SyncBN')
+        if fold:
+            probe = jnp.zeros((1, 1, 1, E_total), jnp.float32)
+            t_shift = norm(probe, train=False)[0, 0, 0]
+            s_scale = norm(probe + 1.0, train=False)[0, 0, 0] - t_shift
+
         acc = None
         ups = []
         for idx, (c, (E, b)) in enumerate(zip(parts, embeds)):
             W = kernel[idx * E_total:(idx + 1) * E_total]
             K = E.astype(jnp.float32) @ W.astype(jnp.float32)
             cb = b.astype(jnp.float32) @ W.astype(jnp.float32)
+            if fold:
+                K = K * s_scale[None, :]
+                cb = cb * s_scale
             part = c @ K.astype(c.dtype) + cb.astype(c.dtype)
             if c.shape[1:3] != out_hw:
                 ups.append(part)
@@ -85,8 +114,7 @@ class _ComposedFuse(nn.Module):
             # pass when eligible (ops/pallas/resize_sum.py — measured
             # ~2x the XLA interpolation-matmul chain on the B3 teacher
             # head); gradients keep the XLA resize adjoint
-            if can_use_fused_resize_sum([p.shape for p in ups], out_hw,
-                                        dtype=ups[0].dtype):
+            if use_fused:
                 s = fused_resize_sum(tuple(ups), out_hw)
             else:
                 s = None
@@ -95,7 +123,9 @@ class _ComposedFuse(nn.Module):
                                   align_corners=False)
                     s = part if s is None else s + part
             acc = s if acc is None else acc + s
-        h = NormLayer(self.norm_cfg, name='bn')(acc, train=train)
+        if fold:
+            return nn.relu(acc + t_shift.astype(acc.dtype))
+        h = norm(acc, train=train)
         return nn.relu(h)
 
 

@@ -49,6 +49,40 @@ def _teacher_perf_defaults(cfg_t, teacher_layers=()):
     return cfg_t
 
 
+def _init_adapters(distillation, rng):
+    """Trainable 1x1 channel adapters for cross-width student/teacher
+    pairs (ref 'channel_nums' contract, opts.py:25-27 + Conv1d
+    :115-125); kept in the student params so the optimizer trains them
+    alongside the student. Init matches torch nn.Conv1d's default
+    (U(-1/sqrt(c_in), 1/sqrt(c_in)) for kernel and bias)."""
+    import jax.numpy as jnp
+    adapters = {}
+    for i, entry in enumerate(distillation):
+        nums = entry.get('channel_nums')
+        if nums is None:
+            continue
+        c_s, c_t = nums
+        rng, k_k, k_b = jax.random.split(rng, 3)
+        scale = (1.0 / c_s) ** 0.5
+        adapters[f'adapter_{i}'] = {
+            'kernel': jax.random.uniform(k_k, (c_s, c_t), jnp.float32,
+                                         -scale, scale),
+            'bias': jax.random.uniform(k_b, (c_t,), jnp.float32,
+                                       -scale, scale),
+        }
+    return adapters
+
+
+def _split_adapters(student_vars):
+    """-> (student_vars without the adapter subtree, adapters_or_None)."""
+    adapters = student_vars.get('params', {}).get('distill_adapters')
+    if adapters is None:
+        return student_vars, None
+    params = {k: v for k, v in student_vars['params'].items()
+              if k != 'distill_adapters'}
+    return {**student_vars, 'params': params}, adapters
+
+
 @SEGMENTORS.register_module()
 class SDModule(BaseSegmentor):
 
@@ -84,23 +118,7 @@ class SDModule(BaseSegmentor):
     def init_variables(self, rng, input_shape=(1, 512, 512, 3)):
         rng_s, rng_t, rng_a = jax.random.split(rng, 3)
         student = self.student.init_variables(rng_s, input_shape)
-        adapters = {}
-        for i, entry in enumerate(self.distillation):
-            nums = entry.get('channel_nums')
-            if nums is None:
-                continue
-            # trainable 1x1 channel adapter (ref 'channel_nums' contract,
-            # opts.py:25-27): lives in the student params so the optimizer
-            # trains it alongside the student
-            c_s, c_t = nums
-            rng_a, k = jax.random.split(rng_a)
-            import jax.numpy as jnp
-            scale = (1.0 / c_s) ** 0.5
-            adapters[f'adapter_{i}'] = {
-                'kernel': jax.random.uniform(k, (c_s, c_t), jnp.float32,
-                                             -scale, scale),
-                'bias': jnp.zeros((c_t,), jnp.float32),
-            }
+        adapters = _init_adapters(self.distillation, rng_a)
         if adapters:
             student = dict(student)
             student['params'] = dict(student['params'],
@@ -120,11 +138,7 @@ class SDModule(BaseSegmentor):
         loss dict under the reference's key layout.
         """
         capture = bool(self.distillation)
-        adapters = student_vars.get('params', {}).get('distill_adapters')
-        if adapters is not None:
-            params = {k: v for k, v in student_vars['params'].items()
-                      if k != 'distill_adapters'}
-            student_vars = {**student_vars, 'params': params}
+        student_vars, adapters = _split_adapters(student_vars)
         losses, s_feats, new_state = self.student.forward_train(
             student_vars, img, gt, rngs=rngs, capture_feats=capture)
         if capture:
@@ -210,8 +224,11 @@ class SDModuleMT(BaseSegmentor):
                 for i in range(len(self.teachers))]
             entries = []
         else:
+            # aligned path: entry i pairs with teacher i; the loss-key
+            # info suffix is the entry index (ref opts.py:203-208)
             entries = [dict(entry,
-                            teacher_layer=entry['teacher_layer'] + str(i))
+                            teacher_layer=entry['teacher_layer'] + str(i),
+                            loss_info=str(i))
                        for i, entry in enumerate(self.distillation)]
         self.distillation_loss = DistillationLoss(entries)
         self.student_layers, _ = needed_layers(self.distillation)
@@ -222,15 +239,22 @@ class SDModuleMT(BaseSegmentor):
         self.num_classes = self.student.num_classes
 
     def init_variables(self, rng, input_shape=(1, 512, 512, 3)):
-        rngs = jax.random.split(rng, len(self.teachers) + 1)
+        rngs = jax.random.split(rng, len(self.teachers) + 2)
+        student = self.student.init_variables(rngs[0], input_shape)
+        adapters = _init_adapters(self.distillation, rngs[-1])
+        if adapters:
+            student = dict(student)
+            student['params'] = dict(student['params'],
+                                     distill_adapters=adapters)
         return {
-            'student': self.student.init_variables(rngs[0], input_shape),
+            'student': student,
             'teachers': [t.init_variables(r, input_shape)
-                         for t, r in zip(self.teachers, rngs[1:])],
+                         for t, r in zip(self.teachers, rngs[1:-1])],
         }
 
     def forward_train(self, student_vars, teacher_vars_list, img, gt, step,
                       rngs=None, shuffle_rng=None):
+        student_vars, adapters = _split_adapters(student_vars)
         losses, s_feats, new_state = self.student.forward_train(
             student_vars, img, gt, rngs=rngs, capture_feats=True)
         if self.random_ensemble:
@@ -254,7 +278,8 @@ class SDModuleMT(BaseSegmentor):
                         jax.lax.stop_gradient(tvars), img, train=False)
                     t_feats = {k + str(i): v for k, v in feats.items()}
                     d = self.per_teacher_losses[i](s_feats, t_feats, gt,
-                                                   step, rng=shuffle_rng)
+                                                   step, rng=shuffle_rng,
+                                                   adapters=adapters)
                     (val,) = d.values()
                     return jnp.asarray(val, jnp.float32)
                 return f
@@ -270,7 +295,8 @@ class SDModuleMT(BaseSegmentor):
                     jax.lax.stop_gradient(tvars), img, train=False)
                 t_feats.update({k + str(i): v for k, v in feats.items()})
             d_losses = self.distillation_loss(s_feats, t_feats, gt, step,
-                                              rng=shuffle_rng)
+                                              rng=shuffle_rng,
+                                              adapters=adapters)
         losses.update(d_losses)
         return losses, new_state
 

@@ -262,6 +262,7 @@ def load_reference():
     for name in ('KLDLoss', 'PDLoss', 'CDLoss', 'CGDLoss', 'CGDLossWS',
                  'ATLoss', 'IFVDLoss'):
         setattr(ns, name, getattr(dl, name))
-    for name in ('Extractor', 'DistillationLoss'):
+    for name in ('Extractor', 'DistillationLoss', 'ExtractorMT',
+                 'DistillationLossMT', 'Conv1d'):
         setattr(ns, name, getattr(opts, name))
     return ns

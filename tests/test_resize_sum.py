@@ -81,3 +81,50 @@ def test_eligibility_gate():
     # backend check)
     b3 = [(8, 64, 64, 768), (8, 32, 32, 768), (8, 16, 16, 768)]
     assert not ok(b3, (128, 128), dtype=jnp.float32)
+
+
+def test_eval_bn_fold_matches_unfolded_head(monkeypatch):
+    """_ComposedFuse's eval-mode BN fold (segformer_head.py): BN with
+    running stats is a per-channel affine that commutes with the linear,
+    constant-preserving resize-sum, so folding its scale into the composed
+    GEMMs + applying the shift post-sum must match BN applied to the
+    summed map. Forced onto the fused path (interpret mode) on CPU."""
+    import functools
+
+    from segdistill_tpu.models import build_segmentor
+    import segdistill_tpu.ops.pallas as pallas_mod
+
+    def _head_model():
+        return build_segmentor(dict(
+            type='EncoderDecoder',
+            backbone=dict(type='mit_b0', drop_path_rate=0.0),
+            decode_head=dict(
+                type='SegFormerHead', in_channels=[32, 64, 160, 256],
+                in_index=[0, 1, 2, 3], feature_strides=[4, 8, 16, 32],
+                channels=32, dropout_ratio=0.0, num_classes=7,
+                norm_cfg=dict(type='BN'), align_corners=False,
+                decoder_params=dict(embed_dim=128)),
+            train_cfg=dict(), test_cfg=dict(mode='whole')))
+
+    model = _head_model()
+    variables = model.init_variables(jax.random.key(0), (1, 32, 32, 3))
+    # non-trivial BN stats/params so the fold actually moves values
+    rng = np.random.RandomState(3)
+    bn = variables['batch_stats']['decode_head']['linear_fuse']['bn']['bn']
+    bn['mean'] = jnp.asarray(rng.randn(128), jnp.float32)
+    bn['var'] = jnp.asarray(rng.rand(128) + 0.5, jnp.float32)
+    bnp = variables['params']['decode_head']['linear_fuse']['bn']['bn']
+    bnp['scale'] = jnp.asarray(rng.rand(128) + 0.5, jnp.float32)
+    bnp['bias'] = jnp.asarray(rng.randn(128), jnp.float32)
+
+    img = jnp.asarray(rng.randn(2, 32, 32, 3), jnp.float32)
+    want = model.encode_decode(variables, img)  # unfolded (gate is False)
+
+    monkeypatch.setattr(pallas_mod, 'can_use_fused_resize_sum',
+                        lambda *a, **k: True)
+    monkeypatch.setattr(
+        pallas_mod, 'fused_resize_sum',
+        functools.partial(pallas_mod.fused_resize_sum, interpret=True))
+    got = model.encode_decode(variables, img)  # folded + fused kernel
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
