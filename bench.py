@@ -98,7 +98,10 @@ def _on_alarm(signum, frame):
 
 # BENCH_BATCH env override: batch-scaling ladder runs (docs/perf.md)
 BATCH = int(os.environ.get('BENCH_BATCH', '8'))
-CROP = 512
+# BENCH_CROP / BENCH_TEACHER: CPU smoke knobs (tiny shapes exercise every
+# phase end-to-end without a chip; the driver always runs the defaults)
+CROP = int(os.environ.get('BENCH_CROP', '512'))
+TEACHER = os.environ.get('BENCH_TEACHER', 'mit_b3')
 NUM_CLASSES = 150
 
 # BENCH_STUDENT_FA: per-stage differentiable flash SRA for the student.
@@ -152,7 +155,9 @@ def build():
     model_cfg = dict(
         type='SDModule',
         cfg_s=cfg_s,
-        cfg_t=enc('mit_b3', [64, 128, 320, 512], 768),
+        cfg_t=enc(TEACHER, [32, 64, 160, 256] if TEACHER == 'mit_b0'
+                  else [64, 128, 320, 512],
+                  256 if TEACHER == 'mit_b0' else 768),
         distillation=[{
             'student_layer': 'decode_head.linear_pred',
             'teacher_layer': 'decode_head.linear_pred',
@@ -286,11 +291,11 @@ def bench_slide(state, mesh):
             norm_cfg=dict(type='SyncBN', requires_grad=True),
             align_corners=False, decoder_params=dict(embed_dim=256)),
         train_cfg=dict(),
-        test_cfg=dict(mode='slide', crop_size=(512, 512),
-                      stride=(384, 384))))
+        test_cfg=dict(mode='slide', crop_size=(CROP, CROP),
+                      stride=(CROP * 3 // 4, CROP * 3 // 4))))
     sv = _student_vars(state, mesh)
     img = jnp.asarray(np.random.RandomState(2).randn(
-        1, 1024, 2048, 3).astype(np.float32))
+        1, CROP * 2, CROP * 4, 3).astype(np.float32))
 
     @jax.jit
     def fn(v, x):

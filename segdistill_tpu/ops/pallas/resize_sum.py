@@ -35,6 +35,7 @@ in fp32 (slightly *more* accurate than the unfused bf16 XLA path).
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -96,12 +97,19 @@ def _lerp(planes, s, d, f, axis):
     return (1.0 - f) * a + f * b
 
 
-def _fwd_kernel(specs, R_h, R_w, C, *refs):
+def _fwd_kernel(specs, R_h, R_w, C, out_6d, *refs):
     """specs: per-part (s_h, s_w, taps_h, taps_w). refs: parts..., out.
 
     Lerps run on fp32 registers (Mosaic's rotate — the shift primitive —
     rejects sub-32-bit lanes, and measured bf16 slice+concat shifts were
-    ~15% slower than fp32 rolls from packed-sublane repacking)."""
+    ~15% slower than fp32 rolls from packed-sublane repacking).
+
+    out_6d: write (1, h_b, R_h, w_b, R_w, C) blocks (sublane-strided
+    stores at minor-2) instead of (1, h_b, R_h, w_b, R_w*C) lane-blocks —
+    the 6D view's NHWC merge is pure outer-dim reshapes, killing the
+    post-kernel lane-split reshape (~0.64 ms/step on the B3 teacher
+    head) IF Mosaic's strided store doesn't eat the saving (an
+    experiment knob; see docs/perf.md)."""
     out_ref = refs[-1]
     for ph in range(R_h):
         accs = [None] * R_w
@@ -117,8 +125,11 @@ def _fwd_kernel(specs, R_h, R_w, C, *refs):
                 p = _lerp(th, s_w, dw, fw, axis=1)
                 accs[pw] = p if accs[pw] is None else accs[pw] + p
         for pw in range(R_w):
-            out_ref[0, :, ph, :, pw * C:(pw + 1) * C] = \
-                accs[pw].astype(out_ref.dtype)
+            if out_6d:
+                out_ref[0, :, ph, :, pw, :] = accs[pw].astype(out_ref.dtype)
+            else:
+                out_ref[0, :, ph, :, pw * C:(pw + 1) * C] = \
+                    accs[pw].astype(out_ref.dtype)
 
 
 def can_use_fused_resize_sum(shapes, out_hw, dtype=None):
@@ -206,7 +217,21 @@ def _fwd_impl(parts, out_hw, interpret):
         v = p.reshape(b, h_b, s_h, w_b, s_w, c)
         pre.append(v.transpose(0, 2, 4, 1, 3, 5))
 
-    kernel = functools.partial(_fwd_kernel, specs, R_h, R_w, c)
+    # experiment knob (measure on chip before defaulting): 6D out blocks
+    # make the NHWC merge free but store sublane-strided — docs/perf.md
+    out_6d = os.environ.get('SEGDISTILL_RESIZE_SUM_6D') == '1'
+    kernel = functools.partial(_fwd_kernel, specs, R_h, R_w, c, out_6d)
+    if out_6d:
+        out_spec = pl.BlockSpec((1, h_b, R_h, w_b, R_w, c),
+                                lambda i: (i, 0, 0, 0, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((b, h_b, R_h, w_b, R_w, c), dtype)
+    else:
+        out_spec = pl.BlockSpec((1, h_b, R_h, w_b, R_w * c),
+                                lambda i: (i, 0, 0, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((b, h_b, R_h, w_b, R_w * c),
+                                         dtype)
     out = pl.pallas_call(
         kernel,
         grid=(b,),
@@ -216,15 +241,14 @@ def _fwd_impl(parts, out_hw, interpret):
                          memory_space=pltpu.VMEM)
             for (s_h, s_w, _, _) in specs
         ],
-        out_specs=pl.BlockSpec((1, h_b, R_h, w_b, R_w * c),
-                               lambda i: (i, 0, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h_b, R_h, w_b, R_w * c), dtype),
+        out_specs=out_spec,
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
     )(*pre)
-    # dense row-major bitcast: (B, h_b, R_h, w_b, R_w*C) == (B, H, W, C)
+    # 5D: dense row-major bitcast (B, h_b, R_h, w_b, R_w*C) == (B, H, W,
+    # C) via one lane-split reshape; 6D: pure outer-dim merges (free)
     return out.reshape(b, H, W, c)
 
 
