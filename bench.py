@@ -53,7 +53,7 @@ _T_START = time.monotonic()
 _PARTIAL = {
     'metric': 'cgd_distill_train_imgs_per_sec_per_chip',
     'value': None,
-    'unit': 'imgs/sec/chip (B0<-B3, 512x512, batch 8, bf16)',
+    'unit': None,
     'vs_baseline': None,
     'phase': 'startup',
 }
@@ -104,6 +104,12 @@ CROP = int(os.environ.get('BENCH_CROP', '512'))
 TEACHER = os.environ.get('BENCH_TEACHER', 'mit_b3')
 NUM_CLASSES = 150
 
+# the unit string must describe the ACTUAL configuration — a ladder/smoke
+# run with overridden knobs must not be comparable against default-config
+# artifacts unnoticed (advisor r4)
+UNIT = 'imgs/sec/chip (B0<-%s, %dx%d, batch %d, bf16)' % (
+    TEACHER.replace('mit_b', 'B').upper(), CROP, CROP, BATCH)
+
 # BENCH_STUDENT_FA: per-stage differentiable flash SRA for the student.
 # Validated strictly — a typo must fail, not silently benchmark the
 # wrong configuration (advisor r4).
@@ -121,10 +127,14 @@ TPU_V5E_PEAK = 197e12  # bf16 FLOP/s per chip
 
 def build():
     import jax
-    jax.config.update('jax_compilation_cache_dir',
-                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                   '.jax_cache'))
-    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    if jax.default_backend() != 'cpu':
+        # persistent cache is a TPU-run optimization only: persisting CPU
+        # executables wedges the compile thread on this box (verify notes)
+        jax.config.update(
+            'jax_compilation_cache_dir',
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         '.jax_cache'))
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
     from segdistill_tpu.engine import (build_lr_schedule, build_optimizer,
                                        build_train_step, create_train_state)
     from segdistill_tpu.models import build_segmentor
@@ -344,9 +354,32 @@ def bench_eval_loop(model, state, mesh):
     return BATCH * iters / dt
 
 
+def _start_watchdog():
+    """SIGALRM cannot preempt a C call that never returns to the
+    interpreter — the round-5 wedge: a remote XLA compile stuck in a
+    futex for >68 min swallowed every alarm. A daemon thread still runs
+    (the blocked call releases the GIL), so it emits the best partial
+    JSON straight to the stdout fd and force-exits at the hard cap."""
+    import threading
+
+    def watch():
+        while True:
+            time.sleep(15)
+            if time.monotonic() - _T_START > HARD_CAP_S + 60:
+                payload = dict(_PARTIAL)
+                payload['error'] = ('watchdog: hard cap (%ds) exceeded '
+                                    'with the main thread wedged in %r'
+                                    % (HARD_CAP_S, _PARTIAL.get('phase')))
+                os.write(1, (json.dumps(payload) + '\n').encode())
+                os._exit(4)
+
+    threading.Thread(target=watch, daemon=True).start()
+
+
 def main():
     signal.signal(signal.SIGALRM, _on_alarm)
     signal.alarm(int(BUDGET_S))
+    _start_watchdog()
 
     import jax
     n_chips = len(jax.devices())
@@ -359,7 +392,7 @@ def main():
     result = {
         'metric': 'cgd_distill_train_imgs_per_sec_per_chip',
         'value': round(per_chip, 3),
-        'unit': 'imgs/sec/chip (B0<-B3, 512x512, batch 8, bf16)',
+        'unit': UNIT,
         'vs_baseline': round(per_chip / REFERENCE_IMGS_PER_SEC_PER_CHIP, 3),
         'step_ms': round(step_s * 1000, 2),
         'mfu': round(per_chip * FLOPS_PER_IMG / TPU_V5E_PEAK, 4),
