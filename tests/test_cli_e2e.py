@@ -265,3 +265,24 @@ def test_cli_tta_slide_eval_bounded_compiles(tmp_path):
                 if 'Finished XLA compilation' in ln]
     inference_compiles = [ln for ln in compiles if 'fn' in ln]
     assert len(compiles) <= 24, (len(compiles), compiles[:30])
+
+
+def test_cli_benchmark_slide(tmp_path):
+    """tools/benchmark.py dispatches slide inference from the config's
+    test_cfg (the reference times the full inference path,
+    ref benchmark.py:50-82; slide: encoder_decoder.py:169-212)."""
+    root = str(tmp_path / 'data')
+    work = str(tmp_path / 'work')
+    cfg_path = str(tmp_path / 'tiny_bench.py')
+    _make_pseudo(root)
+    _write_config(cfg_path, root, work)
+    text = open(cfg_path).read().replace(
+        "test_cfg=dict(mode='whole')",
+        "test_cfg=dict(mode='slide', crop_size=(48, 48), "
+        "stride=(32, 32))")
+    with open(cfg_path, 'w') as f:
+        f.write(text)
+    out = _run_cli('benchmark.py', cfg_path, '--iters', '4',
+                   '--warmup', '1', '--shape', '64', '96',
+                   '--log-interval', '2')
+    assert 'Overall fps' in out

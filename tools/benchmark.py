@@ -39,7 +39,9 @@ def main():
     h, w = args.shape
     img = jax.device_put(np.random.randn(1, h, w, 3).astype(np.float32))
 
-    fn = jax.jit(lambda v, x: model.whole_inference(v, x))
+    # dispatches whole vs slide from the config's test_cfg (the reference
+    # times the full inference path incl. slide windows, benchmark.py:64)
+    fn = jax.jit(lambda v, x: model.inference(v, x))
     fn(variables, img).block_until_ready()  # compile
 
     total = 0.0
