@@ -118,6 +118,12 @@ if STUDENT_FA not in ('', 'off', 'stage14', 'all'):
     sys.exit(f'BENCH_STUDENT_FA={STUDENT_FA!r} invalid: '
              f"use '' | 'off' | 'stage14' | 'all'")
 
+# BENCH_SPD: steps-per-dispatch (build_multi_train_step k-step scan, the
+# production steps-per-loop decoupling). 1 = one dispatch per step.
+SPD = int(os.environ.get('BENCH_SPD', '1'))
+if SPD < 1:
+    sys.exit(f'BENCH_SPD={SPD} invalid: must be >= 1')
+
 # analytic step cost per image (fp ops, fwd at 512^2):
 #   student B0 fwd+bwd ~ 3 x 8.4 GF (Tab5: B0 8.4 GF)
 #   teacher B3 fwd     ~ 79 GF (SegFormer paper, B3 @512^2)
@@ -196,15 +202,26 @@ def build():
     mesh = create_mesh()
     state = replicate(state, mesh)
     teacher_vars = replicate(variables['teacher'], mesh)
-    step_fn = build_train_step(model, tx, lr_sched, donate=True)
 
     rng = np.random.RandomState(0)
-    batch = {
-        'img': rng.randn(BATCH, CROP, CROP, 3).astype(np.float32),
-        'gt': rng.randint(0, NUM_CLASSES,
-                          (BATCH, CROP, CROP)).astype(np.int32),
-    }
-    device_batch = shard_batch(batch, mesh)
+    if SPD > 1:
+        from segdistill_tpu.engine import build_multi_train_step
+        from segdistill_tpu.parallel import shard_stacked_batch
+        step_fn = build_multi_train_step(model, tx, lr_sched, donate=True)
+        batch = {
+            'img': rng.randn(SPD, BATCH, CROP, CROP, 3).astype(np.float32),
+            'gt': rng.randint(0, NUM_CLASSES,
+                              (SPD, BATCH, CROP, CROP)).astype(np.int32),
+        }
+        device_batch = shard_stacked_batch(batch, mesh)
+    else:
+        step_fn = build_train_step(model, tx, lr_sched, donate=True)
+        batch = {
+            'img': rng.randn(BATCH, CROP, CROP, 3).astype(np.float32),
+            'gt': rng.randint(0, NUM_CLASSES,
+                              (BATCH, CROP, CROP)).astype(np.int32),
+        }
+        device_batch = shard_batch(batch, mesh)
     return model, step_fn, state, teacher_vars, device_batch, mesh
 
 
@@ -220,13 +237,13 @@ def _phase_iters(full, reduced, floor_s=75):
 
 def bench_train(step_fn, state, teacher_vars, batch):
     import jax
-    _progress('train: compiling + warmup (3 steps)')
+    _progress('train: compiling + warmup (3 dispatches)')
     for _ in range(3):
         state, log_vars = step_fn(state, teacher_vars, batch['img'],
                                   batch['gt'])
     float(jax.device_get(log_vars['loss']))  # hard fence (see docstring)
     iters = _phase_iters(20, 5)
-    _progress('train: timing %d steps' % iters)
+    _progress('train: timing %d dispatches x %d step(s)' % (iters, SPD))
 
     t0 = time.perf_counter()
     for _ in range(iters):
@@ -235,7 +252,8 @@ def bench_train(step_fn, state, teacher_vars, batch):
     loss_val = float(jax.device_get(log_vars['loss']))  # hard fence
     dt = time.perf_counter() - t0
     assert np.isfinite(loss_val)
-    return BATCH * iters / dt, dt / iters, state
+    steps = iters * SPD
+    return BATCH * steps / dt, dt / steps, state
 
 
 def bench_inference(model, state, mesh):
@@ -400,6 +418,7 @@ def main():
         'baseline_derivation': 'BASELINE.md#throughput (8.0 imgs/s/GPU '
                                'favourable-to-reference estimate)',
         'student_fused_attention': STUDENT_FA or 'off',
+        'steps_per_dispatch': SPD,
     }
     _PARTIAL.update(result)
     _progress('train done: %.1f imgs/s/chip' % per_chip)

@@ -153,6 +153,14 @@ def train_segmentor(model, dataset, cfg, distributed=True, validate=False,
                     f'(warm start, iter 0)')
 
     train_step = build_train_step(model, tx, lr_schedule)
+    # steps-per-loop decoupling (TPU-native extension; see
+    # build_multi_train_step): runner=dict(..., steps_per_dispatch=k)
+    steps_per_dispatch = int(cfg.runner.get('steps_per_dispatch', 1)) \
+        if 'runner' in cfg else 1
+    multi_train_step = None
+    if steps_per_dispatch > 1:
+        from ..engine import build_multi_train_step
+        multi_train_step = build_multi_train_step(model, tx, lr_schedule)
 
     eval_hook = None
     if validate and cfg.get('evaluation'):
@@ -194,6 +202,8 @@ def train_segmentor(model, dataset, cfg, distributed=True, validate=False,
             'max_keep_ckpts', 1),
         eval_hook=eval_hook,
         meta=ckpt_meta,
+        multi_train_step=multi_train_step,
+        steps_per_dispatch=steps_per_dispatch,
         tensorboard=any(
             h.get('type') == 'TensorboardLoggerHook'
             for h in cfg.get('log_config', {}).get('hooks', [])))

@@ -16,10 +16,15 @@ class EvalHook:
         self.interval = interval
         self.eval_kwargs = eval_kwargs
         self.latest_results = None
+        self._prev_step = None
 
     def after_train_iter(self, runner_state):
         step = int(runner_state.step)
-        if step % self.interval != 0:
+        # interval-crossing, not exact-multiple: under steps-per-dispatch
+        # chunking (IterBasedRunner) the hook sees only chunk-end steps
+        prev = self._prev_step if self._prev_step is not None else step - 1
+        self._prev_step = step
+        if step // self.interval == prev // self.interval:
             return None
         self.latest_results = self.eval_fn(runner_state, **self.eval_kwargs)
         return self.latest_results

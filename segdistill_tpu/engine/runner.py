@@ -14,7 +14,7 @@ import jax.numpy as jnp
 import optax
 
 from ..models.segmentors import parse_losses
-from ..parallel import shard_batch
+from ..parallel import shard_batch, shard_stacked_batch
 from ..utils import get_root_logger
 from .train_state import TrainState
 
@@ -27,6 +27,12 @@ def build_train_step(model, tx, lr_schedule=None, donate=True):
     distill loss schedules is ``state.step + 1`` — the reference's ``cnt``
     increments before loss computation (SD_structure.py:62).
     """
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(_make_train_step(model, tx, lr_schedule),
+                   donate_argnums=donate_argnums)
+
+
+def _make_train_step(model, tx, lr_schedule=None):
     is_distill = hasattr(model, 'teacher') or hasattr(model, 'teachers')
     log_grad = bool(getattr(model, 'log_grad', False))
 
@@ -87,8 +93,37 @@ def build_train_step(model, tx, lr_schedule=None, donate=True):
             log_vars['lr'] = lr_schedule(state.step)
         return new_state, log_vars
 
+    return train_step
+
+
+def build_multi_train_step(model, tx, lr_schedule=None, donate=True):
+    """-> jitted fn(state, teacher_vars, imgs, gts) -> (state, log_vars)
+    executing k train steps in one XLA program via ``lax.scan``, where k
+    is the leading axis of ``imgs``/``gts`` ((k, B, H, W, ...)).
+
+    The steps-per-loop decoupling every production TPU trainer uses: the
+    host enqueues one program per k steps, so per-dispatch latency (RPC,
+    python, transfer handshakes) amortizes k-fold and the device never
+    idles between steps. Semantically exact: the inner step is the same
+    closure ``build_train_step`` jits, and every schedule/RNG inside is a
+    pure function of ``state.step`` (step-pure by design — the reference's
+    mutable ``cnt``/hook state, SD_structure.py:62, was redesigned away
+    for exactly this), so k scanned steps produce bitwise the state of k
+    sequential dispatches (pinned by test_runner.py). ``log_vars`` are the
+    last inner step's — matching what a log-interval boundary reports.
+    """
+    inner = _make_train_step(model, tx, lr_schedule)
+
+    def multi_step(state, teacher_vars, imgs, gts):
+        def body(st, xs):
+            img, gt = xs
+            st, log_vars = inner(st, teacher_vars, img, gt)
+            return st, log_vars
+        state, log_seq = jax.lax.scan(body, state, (imgs, gts))
+        return state, jax.tree.map(lambda a: a[-1], log_seq)
+
     donate_argnums = (0,) if donate else ()
-    return jax.jit(train_step, donate_argnums=donate_argnums)
+    return jax.jit(multi_step, donate_argnums=donate_argnums)
 
 
 class IterBasedRunner:
@@ -97,9 +132,15 @@ class IterBasedRunner:
     def __init__(self, model, train_step, state, teacher_vars, mesh,
                  max_iters, work_dir=None, log_interval=50, logger=None,
                  checkpoint_interval=4000, max_keep_ckpts=1,
-                 eval_hook=None, timers=True, tensorboard=False, meta=None):
+                 eval_hook=None, timers=True, tensorboard=False, meta=None,
+                 multi_train_step=None, steps_per_dispatch=1):
         self.model = model
         self.train_step = train_step
+        # steps-per-loop decoupling (build_multi_train_step): full chunks
+        # of k steps ride one dispatch; the tail and any unaligned resume
+        # point fall back to the single-step program
+        self.multi_train_step = multi_train_step
+        self.steps_per_dispatch = max(1, int(steps_per_dispatch))
         self.state = state
         self.teacher_vars = teacher_vars
         self.mesh = mesh
@@ -147,30 +188,50 @@ class IterBasedRunner:
         t_data, t_step = 0.0, 0.0
         pending_logs = None
         last_t = time.perf_counter()
-        for i in range(start_iter, self.max_iters):
+        k_cfg = (self.steps_per_dispatch
+                 if self.multi_train_step is not None else 1)
+        i = start_iter
+        steps_since_log = 0
+        while i < self.max_iters:
+            # full chunks ride the k-step scan program; the tail (and a
+            # resume point within k of the end) uses the single-step one
+            n = k_cfg if i + k_cfg <= self.max_iters else 1
             t0 = time.perf_counter()
-            batch = next(it)
-            device_batch = shard_batch(
-                {'img': batch['img'],
-                 'gt_semantic_seg': batch['gt_semantic_seg']}, self.mesh)
+            if n > 1:
+                import numpy as np
+                bs = [next(it) for _ in range(n)]
+                device_batch = shard_stacked_batch(
+                    {'img': np.stack([b['img'] for b in bs]),
+                     'gt_semantic_seg': np.stack(
+                         [b['gt_semantic_seg'] for b in bs])}, self.mesh)
+                step_fn = self.multi_train_step
+            else:
+                batch = next(it)
+                device_batch = shard_batch(
+                    {'img': batch['img'],
+                     'gt_semantic_seg': batch['gt_semantic_seg']},
+                    self.mesh)
+                step_fn = self.train_step
             t_data += time.perf_counter() - t0
 
-            self.state, log_vars = self.train_step(
+            self.state, log_vars = step_fn(
                 self.state, self.teacher_vars, device_batch['img'],
                 device_batch['gt_semantic_seg'])
-            step = i + 1
+            prev_step, step = i, i + n
+            i = step
+            steps_since_log += n
 
-            if step % self.log_interval == 0:
+            if step // self.log_interval != prev_step // self.log_interval:
                 log_vars = jax.device_get(log_vars)  # sync point
                 now = time.perf_counter()
-                t_step = (now - last_t) / self.log_interval
+                t_step = (now - last_t) / steps_since_log
                 last_t = now
                 msg = ', '.join(f'{k}: {float(v):.4f}'
                                 for k, v in sorted(log_vars.items()))
                 self.logger.info(
                     f'Iter [{step}/{self.max_iters}] '
                     f'time: {t_step:.3f}, data_time: '
-                    f'{t_data / self.log_interval:.3f}, {msg}')
+                    f'{t_data / steps_since_log:.3f}, {msg}')
                 if self.tb_writer is not None:
                     for k, v in log_vars.items():
                         self.tb_writer.add_scalar(f'train/{k}', float(v),
@@ -178,8 +239,10 @@ class IterBasedRunner:
                     self.tb_writer.add_scalar('train/iter_time', t_step,
                                               step)
                 t_data = 0.0
+                steps_since_log = 0
 
-            if self.work_dir and step % self.checkpoint_interval == 0:
+            if self.work_dir and (step // self.checkpoint_interval
+                                  != prev_step // self.checkpoint_interval):
                 save_checkpoint(self.work_dir, self.state,
                                 max_keep=self.max_keep_ckpts,
                                 meta=self.meta)

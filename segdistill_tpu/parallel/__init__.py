@@ -1,5 +1,7 @@
-from .mesh import (create_mesh, shard_batch, replicate, unreplicate,
+from .mesh import (create_mesh, shard_batch, shard_stacked_batch,
+                   replicate, unreplicate,
                    batch_sharding, replicated_sharding)
 
-__all__ = ['create_mesh', 'shard_batch', 'replicate', 'unreplicate',
+__all__ = ['create_mesh', 'shard_batch', 'shard_stacked_batch',
+           'replicate', 'unreplicate',
            'batch_sharding', 'replicated_sharding']

@@ -49,6 +49,20 @@ def shard_batch(batch, mesh, axis_name='data'):
     return jax.tree.map(put, batch)
 
 
+def shard_stacked_batch(batch, mesh, axis_name='data'):
+    """Like :func:`shard_batch` for (k, B, ...) step-stacked batches
+    (``build_multi_train_step``): the scan axis k is replicated, the batch
+    axis (dim 1) is sharded over the mesh."""
+    sharding = NamedSharding(mesh, P(None, axis_name))
+
+    def put(x):
+        if jax.process_count() == 1:
+            return jax.device_put(x, sharding)
+        return jax.make_array_from_process_local_data(sharding, x)
+
+    return jax.tree.map(put, batch)
+
+
 def replicate(tree, mesh):
     sharding = replicated_sharding(mesh)
     if jax.process_count() == 1:

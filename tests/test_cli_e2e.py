@@ -286,3 +286,28 @@ def test_cli_benchmark_slide(tmp_path):
                    '--warmup', '1', '--shape', '64', '96',
                    '--log-interval', '2')
     assert 'Overall fps' in out
+
+
+def test_cli_train_steps_per_dispatch(tmp_path):
+    """Steps-per-loop decoupling through the real CLI: k=3 over
+    max_iters=8 runs two 3-step scan dispatches plus a 2-step single tail,
+    and interval hooks (log 2 / ckpt 4 / eval 4) fire on crossings."""
+    root = str(tmp_path / 'data')
+    work = str(tmp_path / 'work')
+    cfg_path = str(tmp_path / 'tiny_cgd_spd.py')
+    _make_pseudo(root)
+    _write_config(cfg_path, root, work)
+
+    out = _run_cli('train.py', cfg_path, '--work-dir', work, '--seed', '42',
+                   '--options', 'runner.steps_per_dispatch=3')
+    assert 'decode.loss_seg' in out
+    assert 'linear_pred<->decode_head.linear_pred' in out
+    # chunk boundaries 3, 6, 7, 8: eval interval 4 crosses at step 6,
+    # ckpt interval 4 crosses at step 6, final ckpt at 8
+    assert 'Eval at iter 6' in out
+    assert 'Iter [8/8]' in out
+    assert 'Saved checkpoint' in out
+
+    import json
+    meta = json.load(open(osp.join(work, 'checkpoints', 'meta.json')))
+    assert meta['iter'] == 8

@@ -204,3 +204,55 @@ def test_runner_tensorboard_hook(tmp_path, monkeypatch):
     tb_dir = os.path.join(str(tmp_path), 'tf_logs')
     files = os.listdir(tb_dir)
     assert any('tfevents' in f for f in files)
+
+
+def test_multi_train_step_matches_sequential():
+    """k-step scan program (build_multi_train_step) vs k sequential
+    single-step dispatches from the same initial state: the steps-per-loop
+    decoupling must be semantically free. Every schedule/RNG in the step
+    is a pure function of state.step, so the scan body at carry step s
+    computes exactly what the s-th dispatch computes."""
+    from segdistill_tpu.engine import build_multi_train_step
+    from segdistill_tpu.parallel import shard_stacked_batch
+
+    model = build_segmentor(_sd_cfg())
+    variables = model.init_variables(jax.random.key(0), (1, 32, 32, 3))
+    lr_sched = build_lr_schedule(dict(policy='poly', power=1.0), 6e-5, 100)
+    tx = build_optimizer(
+        dict(type='AdamW', lr=6e-5, betas=(0.9, 0.999), weight_decay=0.01),
+        variables['student']['params'], lr_sched)
+    state0 = create_train_state(jax.random.key(1), variables['student'], tx)
+
+    mesh = create_mesh()
+    state0 = replicate(state0, mesh)
+    teacher_vars = replicate(variables['teacher'], mesh)
+
+    k, B = 3, max(2, len(jax.devices()))
+    rng = np.random.RandomState(0)
+    imgs = rng.randn(k, B, 32, 32, 3).astype(np.float32)
+    gts = rng.randint(0, 19, (k, B, 32, 32)).astype(np.int32)
+
+    single = build_train_step(model, tx, lr_sched, donate=False)
+    st = state0
+    for s in range(k):
+        db = shard_batch({'img': imgs[s], 'gt': gts[s]}, mesh)
+        st, log_seq = single(st, teacher_vars, db['img'], db['gt'])
+
+    multi = build_multi_train_step(model, tx, lr_sched, donate=False)
+    db = shard_stacked_batch({'img': imgs, 'gt': gts}, mesh)
+    st_m, log_m = multi(state0, teacher_vars, db['img'], db['gt'])
+
+    assert int(st_m.step) == int(st.step) == k
+    # last inner step's log scalars match the k-th sequential dispatch
+    np.testing.assert_allclose(float(log_m['loss']),
+                               float(log_seq['loss']), rtol=1e-5)
+    # scan-bodied and straight-line programs fuse differently, so
+    # last-ulp rounding differs; tolerance = rounding noise, far below
+    # one AdamW update quantum (~lr=6e-5)
+    for a, b in zip(jax.tree.leaves(st.params), jax.tree.leaves(st_m.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(st.model_state),
+                    jax.tree.leaves(st_m.model_state)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=1e-6)
