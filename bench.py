@@ -119,10 +119,19 @@ if STUDENT_FA not in ('', 'off', 'stage14', 'all'):
              f"use '' | 'off' | 'stage14' | 'all'")
 
 # BENCH_SPD: steps-per-dispatch (build_multi_train_step k-step scan, the
-# production steps-per-loop decoupling). 1 = one dispatch per step.
-SPD = int(os.environ.get('BENCH_SPD', '1'))
+# production steps-per-loop decoupling). Default 8 = the measured ladder
+# optimum (docs/perf.md round-5 ladder: 221.1 @ k=1, 225.1 @ k=4,
+# 226.9 @ k=8); recorded in the artifact as steps_per_dispatch.
+SPD = int(os.environ.get('BENCH_SPD', '8'))
 if SPD < 1:
     sys.exit(f'BENCH_SPD={SPD} invalid: must be >= 1')
+
+# BENCH_STUDENT_CP: per-block remat (with_cp) on the student backbone —
+# on a bw-bound step, recompute is nearly free (12% MFU) if it removes
+# stashed-activation HBM traffic from the backward.
+STUDENT_CP = os.environ.get('BENCH_STUDENT_CP', '')
+if STUDENT_CP not in ('', '0', '1'):
+    sys.exit(f"BENCH_STUDENT_CP={STUDENT_CP!r} invalid: use '' | '0' | '1'")
 
 # analytic step cost per image (fp ops, fwd at 512^2):
 #   student B0 fwd+bwd ~ 3 x 8.4 GF (Tab5: B0 8.4 GF)
@@ -168,6 +177,8 @@ def build():
             ('train', False, False, 'train')
     elif STUDENT_FA == 'all':
         cfg_s['backbone']['fused_attention'] = ('train',) * 4
+    if STUDENT_CP == '1':
+        cfg_s['backbone']['with_cp'] = True
     model_cfg = dict(
         type='SDModule',
         cfg_s=cfg_s,
@@ -184,20 +195,28 @@ def build():
     model = build_segmentor(model_cfg)
     # init at 64x64: MiT/SegFormerHead param shapes are input-size
     # independent, and initializing at full 512x512 compiles a complete
-    # B3 forward just to draw weights (~minutes on the tunneled chip)
-    variables = model.init_variables(jax.random.key(0), (1, 64, 64, 3))
+    # B3 forward just to draw weights (~minutes on the tunneled chip).
+    # Init on the LOCAL CPU backend: threefry draws are backend-identical,
+    # and it replaces hundreds of eager per-op round-trips through the
+    # (possibly sick) remote tunnel with one batched transfer in
+    # replicate() below (~50 s saved on the measured rig).
+    cpu0 = jax.local_devices(backend='cpu')[0]
+    with jax.default_device(cpu0):
+        variables = model.init_variables(jax.random.key(0), (1, 64, 64, 3))
 
-    lr_sched = build_lr_schedule(
-        dict(policy='poly', warmup='linear', warmup_iters=1500,
-             warmup_ratio=1e-6, power=1.0, min_lr=0.0), 6e-5, 160000)
-    tx = build_optimizer(
-        dict(type='AdamW', lr=6e-5, betas=(0.9, 0.999), weight_decay=0.01,
-             paramwise_cfg=dict(custom_keys={
-                 'pos_block': dict(decay_mult=0.),
-                 'norm': dict(decay_mult=0.),
-                 'head': dict(lr_mult=10.)})),
-        variables['student']['params'], lr_sched)
-    state = create_train_state(jax.random.key(1), variables['student'], tx)
+        lr_sched = build_lr_schedule(
+            dict(policy='poly', warmup='linear', warmup_iters=1500,
+                 warmup_ratio=1e-6, power=1.0, min_lr=0.0), 6e-5, 160000)
+        tx = build_optimizer(
+            dict(type='AdamW', lr=6e-5, betas=(0.9, 0.999),
+                 weight_decay=0.01,
+                 paramwise_cfg=dict(custom_keys={
+                     'pos_block': dict(decay_mult=0.),
+                     'norm': dict(decay_mult=0.),
+                     'head': dict(lr_mult=10.)})),
+            variables['student']['params'], lr_sched)
+        state = create_train_state(jax.random.key(1), variables['student'],
+                                   tx)
 
     mesh = create_mesh()
     state = replicate(state, mesh)
@@ -365,8 +384,16 @@ def bench_eval_loop(model, state, mesh):
     np.asarray(fn(sv, img, gt))  # compile + warmup fence
     iters = _phase_iters(12, 4)
     t0 = time.perf_counter()
+    # one-deep pipeline, mirroring apis/test.py::_batched_test: enqueue
+    # batch i+1 before fetching batch i's 4xC histogram so the dispatch
+    # round-trip overlaps device compute instead of serializing
+    pending = None
     for _ in range(iters):
-        hist = np.asarray(fn(sv, img, gt))  # per-batch host fetch (4xC)
+        out = fn(sv, img, gt)
+        if pending is not None:
+            hist = np.asarray(pending)
+        pending = out
+    hist = np.asarray(pending)
     dt = time.perf_counter() - t0
     assert hist.shape == (4, NUM_CLASSES)
     return BATCH * iters / dt
@@ -419,6 +446,7 @@ def main():
                                'favourable-to-reference estimate)',
         'student_fused_attention': STUDENT_FA or 'off',
         'steps_per_dispatch': SPD,
+        'student_remat': STUDENT_CP or 'off',
     }
     _PARTIAL.update(result)
     _progress('train done: %.1f imgs/s/chip' % per_chip)
@@ -429,13 +457,16 @@ def main():
     if os.environ.get('BENCH_SKIP_INFERENCE') == '1':
         result['inference_skipped'] = 'env'
     else:
+        # cheapest-first so a tight external budget still records the
+        # most numbers before any kill (slide pays the biggest
+        # executable-load cost on a cold/sick tunnel)
         phases = [
             ('inference_fps_b0_512',
              lambda: bench_inference(model, state, mesh)),
-            ('slide_fps_b0_1024x2048_512win',
-             lambda: bench_slide(state, mesh)),
             ('eval_imgs_per_sec_histogram_path',
              lambda: bench_eval_loop(model, state, mesh)),
+            ('slide_fps_b0_1024x2048_512win',
+             lambda: bench_slide(state, mesh)),
         ]
         for key, fn in phases:
             try:

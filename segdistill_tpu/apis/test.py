@@ -247,6 +247,34 @@ def _batched_test(model, variables, dataset, compiled, batch_size, logger,
     results = [None] * len(dataset)
     tta_device = _jit_tta_view(model)
     done = 0
+
+    # one-deep dispatch pipeline: the next chunk is enqueued (async jax
+    # dispatch) BEFORE the previous chunk's device->host fetch, so the
+    # per-dispatch round-trip latency overlaps device compute + host
+    # np.stack/cv2 work instead of serializing with them (measured 85.8
+    # -> see docs/perf.md round-5 eval-loop note on the tunneled rig)
+    pending = None  # (chunk, use_device, out_device)
+
+    def _drain():
+        nonlocal pending, done
+        chunk, was_device, out_dev = pending
+        pending = None
+        out = np.asarray(out_dev)
+        for j, i in enumerate(chunk):
+            if was_device:
+                results[i] = out[j].astype(np.int64)
+            else:
+                meta = loaded[i][1][0]
+                ori_shape = meta['ori_shape']
+                h, w = meta['img_shape'][:2]
+                lg = _host_resize_logits(out[j][:h, :w],
+                                         tuple(ori_shape[:2]),
+                                         model.align_corners)
+                results[i] = np.argmax(lg, axis=-1).astype(np.int64)
+        done += len(chunk)
+        if progress and done % 50 < len(chunk):
+            logger.info(f'eval: {done}/{len(dataset)}')
+
     for key, indices in groups.items():
         if isinstance(key, tuple) and key and key[0] == 'tta':
             use_device = len(indices) >= device_resize_min_group
@@ -274,21 +302,12 @@ def _batched_test(model, variables, dataset, compiled, batch_size, logger,
             if len(chunk) < bs:  # pad the tail batch
                 pad = np.repeat(batch[-1:], bs - len(chunk), 0)
                 batch = np.concatenate([batch, pad])
-            out = np.asarray(fn(variables, batch))
-            for j, i in enumerate(chunk):
-                if use_device:
-                    results[i] = out[j].astype(np.int64)
-                else:
-                    meta = loaded[i][1][0]
-                    ori_shape = meta['ori_shape']
-                    h, w = meta['img_shape'][:2]
-                    lg = _host_resize_logits(out[j][:h, :w],
-                                             tuple(ori_shape[:2]),
-                                             model.align_corners)
-                    results[i] = np.argmax(lg, axis=-1).astype(np.int64)
-            done += len(chunk)
-            if progress and done % 50 < bs:
-                logger.info(f'eval: {done}/{len(dataset)}')
+            out_dev = fn(variables, batch)  # async enqueue
+            if pending is not None:
+                _drain()
+            pending = (chunk, use_device, out_dev)
+    if pending is not None:
+        _drain()
     return results
 
 
