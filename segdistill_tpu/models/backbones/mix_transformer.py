@@ -114,6 +114,15 @@ class Attention(nn.Module):
         self.sow('feats', 'Q', q)
 
         if self.sr_ratio > 1:
+            if H < self.sr_ratio or W < self.sr_ratio:
+                # the reference's nn.Conv2d(k=sr, s=sr) also cannot produce
+                # an output here (ref mix_transformer.py:88) — fail with
+                # the actual constraint instead of an empty-axis reduce
+                raise ValueError(
+                    f'SRA stage needs a token grid of at least '
+                    f'{self.sr_ratio}x{self.sr_ratio}, got {H}x{W}: '
+                    f'input images must be >= 4*sr_ratio '
+                    f'({4 * self.sr_ratio}px) per side')
             x_ = x.reshape(B, H, W, C)
             x_ = nn.Conv(C, (self.sr_ratio, self.sr_ratio),
                          strides=self.sr_ratio, padding='VALID',

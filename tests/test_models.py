@@ -229,10 +229,21 @@ def test_slide_inference_crop_larger_than_image():
     whole-image window, no padding."""
     cfg = _mini_encdec()
     model = build_segmentor(cfg, train_cfg=dict(),
-                            test_cfg=dict(mode='slide', crop_size=(32, 32),
-                                          stride=(24, 24)))
-    variables = model.init_variables(jax.random.key(0), (1, 32, 32, 3))
-    img = np.random.RandomState(4).randn(1, 24, 24, 3).astype(np.float32)
+                            test_cfg=dict(mode='slide', crop_size=(64, 64),
+                                          stride=(48, 48)))
+    variables = model.init_variables(jax.random.key(0), (1, 64, 64, 3))
+    # 48 < 64 crop -> single whole-image window; 48px is the smallest
+    # mit_b0-valid size here (stage-1 grid 12 >= sr_ratio 8 — torch's
+    # sr conv k=8/s=8 cannot run below 32px either, and the jax port
+    # raises the same constraint, pinned below)
+    img = np.random.RandomState(4).randn(1, 48, 48, 3).astype(np.float32)
     got = np.asarray(model.slide_inference(variables, jnp.asarray(img)))
     want = np.asarray(model.encode_decode(variables, jnp.asarray(img)))
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+    # degenerate geometry (24px -> stage-1 grid 6 < sr_ratio 8): the
+    # reference's Conv2d(k=8, s=8) hard-fails on a 6x6 input too; the
+    # port must raise the constraint, not an empty-axis reduce error
+    tiny = np.random.RandomState(5).randn(1, 24, 24, 3).astype(np.float32)
+    with pytest.raises(ValueError, match='4\\*sr_ratio'):
+        model.encode_decode(variables, jnp.asarray(tiny))
