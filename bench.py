@@ -133,6 +133,23 @@ STUDENT_CP = os.environ.get('BENCH_STUDENT_CP', '')
 if STUDENT_CP not in ('', '0', '1'):
     sys.exit(f"BENCH_STUDENT_CP={STUDENT_CP!r} invalid: use '' | '0' | '1'")
 
+# BENCH_BF16_FEED: feed images as bf16 (the backbone's first act is
+# x.astype(bf16), so host-side cast is numerically identical — both are
+# round-to-nearest-even) — halves the batch bytes the scan step slices
+# and relayouts (profiled 0.39 ms/step input copy at SPD=8).
+BF16_FEED = os.environ.get('BENCH_BF16_FEED', '')
+if BF16_FEED not in ('', '0', '1'):
+    sys.exit(f"BENCH_BF16_FEED={BF16_FEED!r} invalid: use '' | '0' | '1'")
+
+# BENCH_LN: LayerNorm statistics backend for both backbones. Default
+# 'matmul' = MatmulStatLN, MXU-stat LN at the eligible lane-starved
+# stage-1 shapes (C <= 64, >= 64k rows) — measured 226.9 -> 238.3
+# imgs/s in-model (docs/perf.md round-5 ladder); outputs differ from
+# nn.LayerNorm by <= 1 bf16 ulp (stats exact in fp32 either way).
+LN_STATS = os.environ.get('BENCH_LN', 'matmul')
+if LN_STATS not in ('', 'native', 'matmul'):
+    sys.exit(f"BENCH_LN={LN_STATS!r} invalid: use '' | 'native' | 'matmul'")
+
 # analytic step cost per image (fp ops, fwd at 512^2):
 #   student B0 fwd+bwd ~ 3 x 8.4 GF (Tab5: B0 8.4 GF)
 #   teacher B3 fwd     ~ 79 GF (SegFormer paper, B3 @512^2)
@@ -142,14 +159,6 @@ TPU_V5E_PEAK = 197e12  # bf16 FLOP/s per chip
 
 def build():
     import jax
-    if jax.default_backend() != 'cpu':
-        # persistent cache is a TPU-run optimization only: persisting CPU
-        # executables wedges the compile thread on this box (verify notes)
-        jax.config.update(
-            'jax_compilation_cache_dir',
-            os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         '.jax_cache'))
-        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
     from segdistill_tpu.engine import (build_lr_schedule, build_optimizer,
                                        build_train_step, create_train_state)
     from segdistill_tpu.models import build_segmentor
@@ -179,12 +188,16 @@ def build():
         cfg_s['backbone']['fused_attention'] = ('train',) * 4
     if STUDENT_CP == '1':
         cfg_s['backbone']['with_cp'] = True
+    cfg_t = enc(TEACHER, [32, 64, 160, 256] if TEACHER == 'mit_b0'
+                else [64, 128, 320, 512],
+                256 if TEACHER == 'mit_b0' else 768)
+    if LN_STATS:
+        cfg_s['backbone']['ln_stats'] = LN_STATS
+        cfg_t['backbone']['ln_stats'] = LN_STATS
     model_cfg = dict(
         type='SDModule',
         cfg_s=cfg_s,
-        cfg_t=enc(TEACHER, [32, 64, 160, 256] if TEACHER == 'mit_b0'
-                  else [64, 128, 320, 512],
-                  256 if TEACHER == 'mit_b0' else 768),
+        cfg_t=cfg_t,
         distillation=[{
             'student_layer': 'decode_head.linear_pred',
             'teacher_layer': 'decode_head.linear_pred',
@@ -218,17 +231,33 @@ def build():
         state = create_train_state(jax.random.key(1), variables['student'],
                                    tx)
 
+    if jax.default_backend() != 'cpu':
+        # persistent cache is a TPU-run optimization only — enabled AFTER
+        # the CPU-backend init above: persisted XLA:CPU AOT executables
+        # reload with machine-feature mismatches (SIGILL risk) and CPU
+        # cache writes have wedged the compile thread on this box
+        # (verify notes). Every TPU compile below still hits the cache.
+        jax.config.update(
+            'jax_compilation_cache_dir',
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         '.jax_cache'))
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+
     mesh = create_mesh()
     state = replicate(state, mesh)
     teacher_vars = replicate(variables['teacher'], mesh)
 
     rng = np.random.RandomState(0)
+    img_dtype = np.float32
+    if BF16_FEED == '1':
+        import ml_dtypes
+        img_dtype = ml_dtypes.bfloat16
     if SPD > 1:
         from segdistill_tpu.engine import build_multi_train_step
         from segdistill_tpu.parallel import shard_stacked_batch
         step_fn = build_multi_train_step(model, tx, lr_sched, donate=True)
         batch = {
-            'img': rng.randn(SPD, BATCH, CROP, CROP, 3).astype(np.float32),
+            'img': rng.randn(SPD, BATCH, CROP, CROP, 3).astype(img_dtype),
             'gt': rng.randint(0, NUM_CLASSES,
                               (SPD, BATCH, CROP, CROP)).astype(np.int32),
         }
@@ -447,6 +476,8 @@ def main():
         'student_fused_attention': STUDENT_FA or 'off',
         'steps_per_dispatch': SPD,
         'student_remat': STUDENT_CP or 'off',
+        'bf16_feed': BF16_FEED or 'off',
+        'ln_stats': LN_STATS or 'native',
     }
     _PARTIAL.update(result)
     _progress('train done: %.1f imgs/s/chip' % per_chip)

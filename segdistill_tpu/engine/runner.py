@@ -186,7 +186,6 @@ class IterBasedRunner:
                          f'{self.max_iters}')
         it = iter(data_loader)
         t_data, t_step = 0.0, 0.0
-        pending_logs = None
         last_t = time.perf_counter()
         k_cfg = (self.steps_per_dispatch
                  if self.multi_train_step is not None else 1)

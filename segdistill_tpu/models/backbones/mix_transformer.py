@@ -20,7 +20,9 @@ Tap names reproduce the reference layer names:
 from typing import Any, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ...ops.dwconv import DepthwiseConv2d
 from ...ops.softmax import softmax_lastdim
@@ -57,6 +59,55 @@ class DWConv(nn.Module):
                             use_bias=True, dtype=x.dtype,
                             use_tap=use_tap, name='dwconv')(x)
         return x.reshape(B, H * W, C)
+
+
+class MatmulStatLN(nn.Module):
+    """Drop-in for ``nn.LayerNorm`` computing the (sum, sum-of-squares)
+    statistics via two tiny MXU matmuls instead of minor-dim VPU reduces.
+
+    At MiT stage-1 token counts the lane dim carries only C=32/64 of 128
+    lanes, and XLA's minor-dim reduction is the slowest op class in the
+    stage (docs/perf.md "lane-starved LN reductions"). A (rows, C) @
+    (C, 2) dot computes both sums on the MXU at full rate — measured
+    standalone 1.94 -> 0.89 ms fwd+bwd at (131072, 32) bf16. Unlike the
+    Pallas FusedLayerNorm (a measured fusion-barrier regression), this
+    stays inside XLA so surrounding fusions survive. Param layout and
+    fast-variance semantics match ``nn.LayerNorm``; opt-in via the
+    backbone's ``ln_stats='matmul'`` knob, and only applied where the
+    standalone ladder wins (C <= 64, >= 64k rows) — elsewhere the module
+    falls back to the native path.
+    """
+    epsilon: float = 1e-6
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        C = x.shape[-1]
+        scale = self.param('scale', nn.initializers.ones, (C,))
+        bias = self.param('bias', nn.initializers.zeros, (C,))
+        rows = int(np.prod(x.shape[:-1]))
+        if C > 64 or rows < 65536:
+            # native reduce path (identical to nn.LayerNorm)
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=-1, keepdims=True)
+            mean2 = jnp.mean(xf * xf, axis=-1, keepdims=True)
+        else:
+            ones = jnp.ones((C, 2), jnp.float32)
+            xf = x.astype(jnp.float32)
+            dims = (((x.ndim - 1,), (0,)), ((), ()))
+            mean = jax.lax.dot_general(
+                xf, ones, dims, preferred_element_type=jnp.float32
+            )[..., :1] / C
+            mean2 = jax.lax.dot_general(
+                xf * xf, ones, dims, preferred_element_type=jnp.float32
+            )[..., :1] / C
+        var = jnp.maximum(mean2 - mean * mean, 0.0)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return (y * scale + bias).astype(self.dtype)
+
+
+def _ln(stats, **kw):
+    return MatmulStatLN(**kw) if stats == 'matmul' else nn.LayerNorm(**kw)
 
 
 class Mlp(nn.Module):
@@ -188,10 +239,12 @@ class Block(nn.Module):
     gelu_approximate: bool = True
     fused_attention: Any = False  # False | True | 'train' (see Attention)
     dwconv_backend: str = 'auto'
+    ln_stats: str = 'native'  # 'matmul' -> MatmulStatLN where it wins
 
     @nn.compact
     def __call__(self, x, H, W, deterministic=True):
-        h = nn.LayerNorm(epsilon=1e-6, dtype=x.dtype, name='norm1')(x)
+        h = _ln(self.ln_stats, epsilon=1e-6, dtype=x.dtype,
+                name='norm1')(x)
         h = Attention(self.dim, num_heads=self.num_heads,
                       qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
                       attn_drop=self.attn_drop, proj_drop=self.drop,
@@ -200,7 +253,8 @@ class Block(nn.Module):
                           h, H, W, deterministic=deterministic)
         x = x + DropPath(self.drop_path, name='drop_path1')(
             h, deterministic=deterministic)
-        h = nn.LayerNorm(epsilon=1e-6, dtype=x.dtype, name='norm2')(x)
+        h = _ln(self.ln_stats, epsilon=1e-6, dtype=x.dtype,
+                name='norm2')(x)
         h = Mlp(int(self.dim * self.mlp_ratio), self.dim, drop=self.drop,
                 gelu_approximate=self.gelu_approximate,
                 dwconv_backend=self.dwconv_backend,
@@ -249,6 +303,7 @@ class MixVisionTransformer(nn.Module):
     fused_attention: Any = False
     with_cp: bool = False  # gradient checkpointing per block (jax.remat)
     dwconv_backend: str = 'auto'  # Mix-FFN depthwise form (see DWConv)
+    ln_stats: str = 'native'  # 'matmul' -> MXU-stat LN at eligible shapes
     dtype: jnp.dtype = jnp.float32
 
     # feature-tap path components needing list-index renames
@@ -291,9 +346,10 @@ class MixVisionTransformer(nn.Module):
                           gelu_approximate=self.gelu_approximate,
                           fused_attention=fa_stages[s],
                           dwconv_backend=self.dwconv_backend,
+                          ln_stats=self.ln_stats,
                           name=f'block{s + 1}_{i}')(x, H, W, det)
-            x = nn.LayerNorm(epsilon=1e-6, dtype=x.dtype,
-                             name=f'norm{s + 1}')(x)
+            x = _ln(self.ln_stats, epsilon=1e-6, dtype=x.dtype,
+                    name=f'norm{s + 1}')(x)
             x = x.reshape(x.shape[0], H, W, -1)
             outs.append(x)
             cur += self.depths[s]

@@ -247,3 +247,29 @@ def test_slide_inference_crop_larger_than_image():
     tiny = np.random.RandomState(5).randn(1, 24, 24, 3).astype(np.float32)
     with pytest.raises(ValueError, match='4\\*sr_ratio'):
         model.encode_decode(variables, jnp.asarray(tiny))
+
+
+def test_matmul_stat_ln_matches_native():
+    """MatmulStatLN (MXU-stat LayerNorm, backbone ln_stats='matmul') is a
+    drop-in for nn.LayerNorm: identical param tree, same fast-variance
+    semantics; outputs agree to one bf16 ulp on the MXU-stat path and
+    exactly on the small-shape fallback."""
+    import flax.linen as nn
+    from segdistill_tpu.models.backbones.mix_transformer import MatmulStatLN
+
+    x_big = jnp.asarray(np.random.RandomState(0).randn(2, 70000, 32),
+                        jnp.bfloat16)
+    x_small = jnp.asarray(np.random.RandomState(1).randn(2, 100, 32),
+                          jnp.bfloat16)
+    m = MatmulStatLN(epsilon=1e-6, dtype=jnp.bfloat16)
+    ref = nn.LayerNorm(epsilon=1e-6, dtype=jnp.bfloat16)
+    v = m.init(jax.random.key(0), x_small)
+    v_ref = ref.init(jax.random.key(0), x_small)
+    assert jax.tree.map(lambda a: a.shape, v) == \
+        jax.tree.map(lambda a: a.shape, v_ref)
+
+    ya = np.asarray(m.apply(v_ref, x_big), np.float32)  # params swap both ways
+    yb = np.asarray(ref.apply(v, x_big), np.float32)
+    np.testing.assert_allclose(ya, yb, atol=0.04)  # one bf16 ulp at |y|<=4
+    np.testing.assert_array_equal(np.asarray(m.apply(v, x_small)),
+                                  np.asarray(ref.apply(v_ref, x_small)))
