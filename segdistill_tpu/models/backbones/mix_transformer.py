@@ -82,11 +82,15 @@ class MatmulStatLN(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        import os
         C = x.shape[-1]
         scale = self.param('scale', nn.initializers.ones, (C,))
         bias = self.param('bias', nn.initializers.zeros, (C,))
         rows = int(np.prod(x.shape[:-1]))
-        if C > 64 or rows < 65536:
+        # 64k-row floor = the measured win boundary (ladder knob for
+        # experiments; 32768-row stage-2 measured at parity-or-lose)
+        min_rows = int(os.environ.get('SEGDISTILL_LN_MIN_ROWS', '65536'))
+        if C > 64 or rows < min_rows:
             # native reduce path (identical to nn.LayerNorm)
             xf = x.astype(jnp.float32)
             mean = jnp.mean(xf, axis=-1, keepdims=True)
