@@ -119,10 +119,11 @@ if STUDENT_FA not in ('', 'off', 'stage14', 'all'):
              f"use '' | 'off' | 'stage14' | 'all'")
 
 # BENCH_SPD: steps-per-dispatch (build_multi_train_step k-step scan, the
-# production steps-per-loop decoupling). Default 8 = the measured ladder
-# optimum (docs/perf.md round-5 ladder: 221.1 @ k=1, 225.1 @ k=4,
-# 226.9 @ k=8); recorded in the artifact as steps_per_dispatch.
-SPD = int(os.environ.get('BENCH_SPD', '8'))
+# production steps-per-loop decoupling). Default 16 = the measured
+# ladder optimum (docs/perf.md round-5 ladder: 221.1 @ k=1, 225.1 @ k=4,
+# 226.9 @ k=8, 239.5 @ k=16 with matmul-LN); recorded in the artifact
+# as steps_per_dispatch.
+SPD = int(os.environ.get('BENCH_SPD', '16'))
 if SPD < 1:
     sys.exit(f'BENCH_SPD={SPD} invalid: must be >= 1')
 
