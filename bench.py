@@ -314,6 +314,9 @@ def bench_train(step_fn, state, teacher_vars, batch):
         if _budget_left() < 60:
             break
     best_dt = min(dts)
+    # spread >> 1 marks an artifact produced through an unhealthy remote
+    # dispatch path (the best pass is still the device number)
+    _PARTIAL['timing_spread'] = round(max(dts) / best_dt, 2)
     steps = iters * SPD
     return BATCH * steps / best_dt, best_dt / steps, state
 
@@ -502,6 +505,7 @@ def main():
         'student_remat': STUDENT_CP or 'off',
         'bf16_feed': BF16_FEED or 'off',
         'ln_stats': LN_STATS or 'native',
+        'timing_spread': _PARTIAL.get('timing_spread'),
     }
     _PARTIAL.update(result)
     _progress('train done: %.1f imgs/s/chip' % per_chip)
